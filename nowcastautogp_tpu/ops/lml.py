@@ -1,0 +1,94 @@
+"""Log marginal likelihood and GP predictive posterior, masked for static shapes.
+
+The SMC schedule grows the conditioning set step by step
+(``AutoGP.fit_smc!`` semantics, ``/root/reference/src/make_and_fit_model.jl:89-91``)
+and ``add_data`` extends it again at nowcast time
+(``/root/reference/src/forecasting.jl:135``).  To keep one XLA compilation
+across all of that, every op here takes a fixed-capacity ``(n_cap,)`` data
+buffer plus a {0,1} ``mask``; masked rows/columns of the covariance are
+replaced by identity rows so the Cholesky factor carries exact zeros /
+ones there and the log-determinant and quadratic form reduce to the active
+subset.  All ops are vmapped over the particle axis (and, at nowcast time,
+a flattened scenario×particle axis).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .kernels import eval_cov_impl as eval_cov
+
+__all__ = [
+    "masked_kernel_matrix", "gp_lml", "gp_lml_batch",
+    "gp_predict", "gp_predict_batch", "LOG_2PI", "DEFAULT_JITTER",
+]
+
+LOG_2PI = 1.8378770664093453
+DEFAULT_JITTER = 1e-5
+
+
+def masked_kernel_matrix(node_types, params, log_noise, x, mask, jitter):
+    """K(x,x) + (noise+jitter)·I on active rows; identity on masked rows."""
+    K = eval_cov(node_types, params, x, x)
+    mm = mask[:, None] * mask[None, :]
+    noise = jnp.exp(log_noise)
+    diag = mask * (noise + jitter) + (1.0 - mask)
+    return K * mm + jnp.diag(diag)
+
+
+def gp_lml(node_types, params, log_noise, x, y, mask, jitter=DEFAULT_JITTER):
+    """Masked log marginal likelihood of one particle.
+
+    Returns -inf-ish (large negative) when the Cholesky fails, so SMC weights
+    and MCMC accepts treat numerically broken proposals as rejected — the
+    engine-level analog of the reference's singular-covariance guards
+    (issue #51 family, ``src/make_and_fit_model.jl:17-27``).
+    """
+    A = masked_kernel_matrix(node_types, params, log_noise, x, mask, jitter)
+    L = jnp.linalg.cholesky(A)
+    ym = y * mask
+    alpha = jax.scipy.linalg.cho_solve((L, True), ym)
+    quad = jnp.dot(ym, alpha)
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
+    n_active = jnp.sum(mask)
+    lml = -0.5 * (quad + logdet + n_active * LOG_2PI)
+    return jnp.where(jnp.isfinite(lml), lml, -1e10)
+
+
+gp_lml_impl = gp_lml
+gp_lml_batch = jax.jit(jax.vmap(gp_lml_impl, in_axes=(0, 0, 0, None, None, None, None)))
+gp_lml = jax.jit(gp_lml_impl)
+
+
+def gp_predict(
+    node_types, params, log_noise, x, y, mask, xs,
+    jitter=DEFAULT_JITTER, include_noise=True,
+):
+    """Predictive posterior N(mu, cov) of one particle at test points ``xs``.
+
+    Matches the observable semantics of ``AutoGP.predict_mvn``
+    (``/root/reference/src/forecasting.jl:46``): the predictive is over
+    *observations*, so the observation-noise variance is added to the
+    covariance diagonal when ``include_noise``.
+    """
+    A = masked_kernel_matrix(node_types, params, log_noise, x, mask, jitter)
+    L = jnp.linalg.cholesky(A)
+    ym = y * mask
+    alpha = jax.scipy.linalg.cho_solve((L, True), ym)
+    Ks = eval_cov(node_types, params, x, xs) * mask[:, None]  # (n, m)
+    Kss = eval_cov(node_types, params, xs, xs)  # (m, m)
+    mu = Ks.T @ alpha
+    V = jax.scipy.linalg.solve_triangular(L, Ks, lower=True)  # (n, m)
+    cov = Kss - V.T @ V
+    noise = jnp.exp(log_noise)
+    extra = jnp.where(include_noise, noise, 0.0) + jitter
+    cov = cov + extra * jnp.eye(xs.shape[0], dtype=cov.dtype)
+    return mu, cov
+
+
+gp_predict_impl = gp_predict
+gp_predict_batch = jax.jit(
+    jax.vmap(gp_predict_impl, in_axes=(0, 0, 0, None, None, None, None, None, None))
+)
+gp_predict = jax.jit(gp_predict_impl)
