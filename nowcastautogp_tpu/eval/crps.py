@@ -1,0 +1,45 @@
+"""Forecast evaluation: sample-based CRPS and quantile utilities.
+
+The reference hand-rolls its CRPS estimator inside the vignettes
+(``/root/reference/docs/vignettes/getting-started.jl:689-728``); per
+SURVEY.md §5 these utilities ship as library code here.  The estimator is the
+standard fair-ensemble form  ``CRPS(F, y) = E|X - y| - 0.5 E|X - X'|``
+computed from forecast draws.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["crps_ensemble", "crps_matrix", "quantile_matrix"]
+
+
+def crps_ensemble(draws: np.ndarray, observation: float) -> float:
+    """CRPS of one predictive ensemble (1-D draws) against a scalar truth."""
+    x = np.asarray(draws, dtype=np.float64).ravel()
+    term1 = np.abs(x - float(observation)).mean()
+    # pairwise E|X - X'| via sorting: O(n log n) instead of O(n^2)
+    xs = np.sort(x)
+    n = xs.size
+    coeffs = 2.0 * np.arange(1, n + 1) - n - 1
+    term2 = 2.0 * np.sum(coeffs * xs) / (n * n)
+    return float(term1 - 0.5 * term2)
+
+
+def crps_matrix(forecasts: np.ndarray, observations: np.ndarray) -> np.ndarray:
+    """Row-wise CRPS of a ``(n_dates, n_draws)`` forecast matrix."""
+    forecasts = np.asarray(forecasts, dtype=np.float64)
+    observations = np.asarray(observations, dtype=np.float64)
+    assert forecasts.shape[0] == observations.shape[0]
+    return np.asarray(
+        [crps_ensemble(forecasts[i], observations[i])
+         for i in range(forecasts.shape[0])]
+    )
+
+
+def quantile_matrix(forecasts: np.ndarray, qs) -> np.ndarray:
+    """Per-row quantiles of a ``(n_dates, n_draws)`` forecast matrix ->
+    ``(len(qs), n_dates)`` (the vignettes' per-row quantile summaries,
+    ``docs/vignettes/getting-started.jl:432-436``)."""
+    return np.quantile(np.asarray(forecasts, dtype=np.float64),
+                       np.asarray(qs), axis=1)

@@ -1,0 +1,131 @@
+"""Vmapped HMC over per-particle GP hyperparameters.
+
+Fills the role of the engine's HMC parameter moves
+(``AutoGP.mcmc_parameters!``, reference call sites
+``/root/reference/src/forecasting.jl:65,148`` and the ``n_hmc`` inner moves of
+``fit_smc!``, ``src/make_and_fit_model.jl:91``).  TPU-first design: one jitted
+function runs ``n_hmc`` full HMC trajectories (``lax.scan``) for *all*
+particles at once (``vmap``); each leapfrog step differentiates the masked
+log-marginal-likelihood + Normal priors with respect to the unconstrained
+hyperparameters — gradients flow through the covariance interpreter and the
+batched Cholesky.  Inactive parameter slots (empty heap nodes / unused param
+slots) get zero momentum and zero gradient contribution, so heterogeneous
+structures share one SPMD program.
+
+All inputs carry a leading particle axis, including the data buffers
+(``x``/``y``/``mask``), so the same compiled program serves both single-model
+fitting (broadcast data) and flattened scenario×particle nowcast batches.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.lml import DEFAULT_JITTER, gp_lml_impl
+
+__all__ = ["log_posterior", "run_hmc"]
+
+
+def log_posterior(
+    node_types, params, log_noise, prior_mu, prior_sigma, prior_active,
+    x, y, mask, jitter, noise_mu, noise_sigma, infer_noise,
+):
+    """Unnormalized log posterior of one particle's hyperparameters."""
+    lml = gp_lml_impl(node_types, params, log_noise, x, y, mask, jitter)
+    z = (params - prior_mu) / prior_sigma
+    lp = jnp.sum(prior_active * (-0.5 * z * z - jnp.log(prior_sigma)))
+    zn = (log_noise - noise_mu) / noise_sigma
+    lp = lp + infer_noise * (-0.5 * zn * zn)
+    return lml + lp, lml
+
+
+def _hmc_single(
+    node_types, params, log_noise, prior_mu, prior_sigma, prior_active,
+    x, y, mask, key, n_steps, n_leapfrog, step_size, step_jitter,
+    jitter, noise_mu, noise_sigma, infer_noise,
+):
+    """n_steps HMC trajectories for one particle; returns updated state."""
+
+    def potential(p, ln):
+        lp, lml = log_posterior(
+            node_types, p, ln, prior_mu, prior_sigma, prior_active,
+            x, y, mask, jitter, noise_mu, noise_sigma, infer_noise,
+        )
+        return -lp, lml
+
+    pot_and_grad = jax.value_and_grad(potential, argnums=(0, 1), has_aux=True)
+
+    def trajectory(carry, key_t):
+        p, ln, U, lml = carry
+        k_eps, k_mom_p, k_mom_n, k_acc = jax.random.split(key_t, 4)
+        eps = step_size * (
+            1.0 + step_jitter * (2.0 * jax.random.uniform(k_eps) - 1.0)
+        )
+        mom_p = jax.random.normal(k_mom_p, p.shape, p.dtype) * prior_active
+        mom_n = jax.random.normal(k_mom_n, (), ln.dtype) * infer_noise
+
+        (U0, _), (g_p, g_n) = pot_and_grad(p, ln)
+        K0 = 0.5 * (jnp.sum(mom_p * mom_p) + mom_n * mom_n)
+
+        def leapfrog(i, state):
+            p_, ln_, mp, mn, gp_, gn_ = state
+            mp = mp - 0.5 * eps * gp_ * prior_active
+            mn = mn - 0.5 * eps * gn_ * infer_noise
+            p_ = p_ + eps * mp * prior_active
+            ln_ = ln_ + eps * mn * infer_noise
+            (_, _), (gp_, gn_) = pot_and_grad(p_, ln_)
+            mp = mp - 0.5 * eps * gp_ * prior_active
+            mn = mn - 0.5 * eps * gn_ * infer_noise
+            return (p_, ln_, mp, mn, gp_, gn_)
+
+        p1, ln1, mp1, mn1, _, _ = jax.lax.fori_loop(
+            0, n_leapfrog, leapfrog, (p, ln, mom_p, mom_n, g_p, g_n)
+        )
+        (U1, lml1), _ = pot_and_grad(p1, ln1)
+        K1 = 0.5 * (jnp.sum(mp1 * mp1) + mn1 * mn1)
+        dH = (U0 + K0) - (U1 + K1)
+        ok = jnp.isfinite(dH) & (
+            jnp.log(jax.random.uniform(k_acc)) < jnp.minimum(dH, 0.0)
+        )
+        p = jnp.where(ok, p1, p)
+        ln = jnp.where(ok, ln1, ln)
+        U = jnp.where(ok, U1, U0)
+        lml = jnp.where(ok, lml1, lml)
+        return (p, ln, U, lml), ok
+
+    (U_init, lml_init), _ = pot_and_grad(params, log_noise)
+    keys = jax.random.split(key, n_steps)
+    (p_f, ln_f, _, lml_f), oks = jax.lax.scan(
+        trajectory, (params, log_noise, U_init, lml_init), keys
+    )
+    return p_f, ln_f, lml_f, jnp.mean(oks.astype(jnp.float32))
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_steps", "n_leapfrog"),
+)
+def run_hmc(
+    node_types, params, log_noise, prior_mu, prior_sigma, prior_active,
+    x, y, mask, key, *, n_steps, n_leapfrog, step_size, step_jitter,
+    jitter=DEFAULT_JITTER, noise_mu=-2.0, noise_sigma=1.0, infer_noise=1.0,
+):
+    """Batched HMC: every argument (except scalars) has a leading particle axis.
+
+    Returns (params, log_noise, lml, accept_rate) — lml is the cached masked
+    log-marginal-likelihood of the final state, used by SMC reweighting.
+    """
+    P = params.shape[0]
+    keys = jax.random.split(key, P)
+    return jax.vmap(
+        _hmc_single,
+        in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+        + (None,) * 8,
+    )(
+        node_types, params, log_noise, prior_mu, prior_sigma, prior_active,
+        x, y, mask, keys, n_steps, n_leapfrog, step_size, step_jitter,
+        jitter, noise_mu, noise_sigma, infer_noise,
+    )

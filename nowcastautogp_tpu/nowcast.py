@@ -1,0 +1,306 @@
+"""Nowcast-scenario batching: scenario containers + nowcast-conditioned forecasts.
+
+TPU-native equivalent of the reference's signature capability
+(``/root/reference/src/create_nowcast_data.jl``, ``src/forecasting.jl:117-167``).
+The reference spawns one thread per scenario, each with a deserialized copy of
+the base model; here scenarios become a **batch axis**: the particle ensemble
+is tiled to a flattened scenario×particle axis with per-row data buffers, so
+``add_data`` reweighting, ESS resampling, HMC refresh, and predictive
+sampling for *all* scenarios run as a handful of batched device calls
+(SURVEY.md §2.5 "TPU-native equivalent").  A serial per-scenario fallback
+covers the general case where scenarios carry different date axes.
+
+The output contract is preserved: a ``(n_dates, n_scenarios *
+draws_per_nowcast)`` matrix with columns grouped by scenario, and the base
+model is never mutated.
+"""
+
+from __future__ import annotations
+
+import copy
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .forecasting import forecast
+from .inference.hmc import run_hmc
+from .inference.resample import ess as _ess
+from .inference.resample import gather_particles, resample_indices
+from .inference.structure_mcmc import mcmc_structure_sweep
+from .models.config import HMCConfig
+from .models.gp_model import (
+    GPModel, add_data, maybe_resample, mcmc_parameters, mcmc_structure,
+)
+from .models.structures import prior_arrays
+from .ops.lml import DEFAULT_JITTER, gp_lml_batch, gp_predict_batch
+from .tdata import TData, create_transformed_data
+from .utils.apply import apply_elementwise
+from .utils.dates import as_date_array
+
+__all__ = ["create_nowcast_data", "forecast_with_nowcasts"]
+
+logger = logging.getLogger("nowcastautogp_tpu")
+
+
+def create_nowcast_data(nowcasts, dates, *, transformation=lambda y: y):
+    """Build ``TData`` scenario containers from nowcast draws.
+
+    Accepts either a sequence of per-scenario value vectors or a matrix whose
+    *columns* are scenarios (rows = dates), mirroring the two methods of the
+    reference (``src/create_nowcast_data.jl:27-40`` and ``:71-76``), including
+    its validations: every scenario must match ``len(dates)``, the set must be
+    non-empty, and all scenarios must have equal length.
+    """
+    if isinstance(nowcasts, np.ndarray) and nowcasts.ndim == 2:
+        # matrix method: columns = scenarios, rows = dates
+        scenarios = [nowcasts[:, j] for j in range(nowcasts.shape[1])]
+    else:
+        # vector-of-vectors method: each element is one scenario
+        scenarios = [np.asarray(list(v) if not isinstance(v, np.ndarray) else v)
+                     for v in nowcasts]
+    dates = list(dates)
+    assert len(scenarios) > 0, "nowcasts must not be empty"
+    assert all(len(s) == len(dates) for s in scenarios), (
+        "Length of each nowcast must match length of dates"
+    )
+    first_len = len(scenarios[0])
+    assert all(len(s) == first_len for s in scenarios), (
+        "All vectors in nowcasts must have the same length"
+    )
+    return [
+        create_transformed_data(dates, s, transformation=transformation)
+        for s in scenarios
+    ]
+
+
+def _shared_dates(nowcasts) -> bool:
+    first = nowcasts[0].ds
+    return all(
+        len(nc.ds) == len(first) and bool(np.all(as_date_array(nc.ds) == as_date_array(first)))
+        for nc in nowcasts[1:]
+    )
+
+
+def forecast_with_nowcasts(
+    base_model: GPModel, nowcasts, forecast_dates, forecast_draws_per_nowcast: int,
+    *, inv_transformation=lambda y: y, n_mcmc: int = 0, n_hmc: int = 0,
+    ess_threshold: float = 0.0, forecast_n_hmc: int | None = None,
+    verbose: bool = False,
+) -> np.ndarray:
+    """Forecast conditioned on each nowcast scenario; concat scenario blocks.
+
+    Validation and option semantics mirror the reference
+    (``src/forecasting.jl:117-167``): non-empty scenarios; ``n_mcmc > 0``
+    requires ``n_hmc > 0``; ``0 <= ess_threshold <= 1`` (a *fraction* of the
+    ensemble); ``forecast_n_hmc`` (if given) must be positive and controls HMC
+    only during forecasting.  The base model is never mutated.
+    """
+    nowcasts = list(nowcasts)
+    assert len(nowcasts) > 0, "nowcasts vector must not be empty"
+    assert not (n_mcmc > 0 and n_hmc == 0), (
+        "If n_mcmc > 0, n_hmc must also be > 0 for MCMC refinement"
+    )
+    assert 0.0 <= ess_threshold <= 1.0, "ess_threshold must be between 0 and 1"
+    assert forecast_n_hmc is None or forecast_n_hmc > 0, (
+        "forecast_n_hmc must be > 0 if specified"
+    )
+
+    if _shared_dates(nowcasts):
+        return _forecast_with_nowcasts_batched(
+            base_model, nowcasts, forecast_dates, int(forecast_draws_per_nowcast),
+            inv_transformation=inv_transformation, n_mcmc=n_mcmc, n_hmc=n_hmc,
+            ess_threshold=ess_threshold, forecast_n_hmc=forecast_n_hmc,
+            verbose=verbose,
+        )
+    return _forecast_with_nowcasts_serial(
+        base_model, nowcasts, forecast_dates, int(forecast_draws_per_nowcast),
+        inv_transformation=inv_transformation, n_mcmc=n_mcmc, n_hmc=n_hmc,
+        ess_threshold=ess_threshold, forecast_n_hmc=forecast_n_hmc,
+        verbose=verbose,
+    )
+
+
+def _forecast_with_nowcasts_serial(
+    base_model, nowcasts, forecast_dates, draws_per_nowcast, *,
+    inv_transformation, n_mcmc, n_hmc, ess_threshold, forecast_n_hmc, verbose,
+):
+    """General path: independent model copy per scenario (reference shape)."""
+    base_dict = base_model.to_dict()
+    blocks = []
+    for i, nc in enumerate(nowcasts):
+        model = GPModel(copy.deepcopy(base_dict))
+        # fresh randomness per scenario (the restored state would otherwise
+        # replay the same stream in every copy)
+        model.rng = np.random.default_rng(base_model.rng.integers(2**63))
+        model._key = jax.random.PRNGKey(int(base_model.rng.integers(2**31)))
+        add_data(model, nc.ds, nc.y)
+        maybe_resample(model, ess_threshold * model.num_particles)
+        if n_mcmc > 0 and n_hmc > 0:
+            mcmc_structure(model, n_mcmc, n_hmc)
+        elif n_mcmc == 0 and n_hmc > 0:
+            mcmc_parameters(model, n_hmc)
+        blocks.append(
+            forecast(
+                model, forecast_dates, draws_per_nowcast,
+                inv_transformation=inv_transformation,
+                forecast_n_hmc=forecast_n_hmc,
+            )
+        )
+        if verbose:
+            logger.info("Nowcast scenario %d/%d done", i + 1, len(nowcasts))
+    return np.concatenate(blocks, axis=1)
+
+
+def _forecast_with_nowcasts_batched(
+    base_model, nowcasts, forecast_dates, draws_per_nowcast, *,
+    inv_transformation, n_mcmc, n_hmc, ess_threshold, forecast_n_hmc, verbose,
+):
+    """Batched path: flattened scenario x particle axis on device.
+
+    Equivalent in distribution to the serial path (each scenario conditions an
+    independent copy of the ensemble), but every numerical step is one device
+    call over all S*P rows.
+    """
+    S = len(nowcasts)
+    P = base_model.num_particles
+    R = S * P
+    hmc_cfg = HMCConfig()
+    noise_mu, noise_sigma, infer = base_model.noise_prior
+
+    # --- per-row data buffers: train block (shared) + scenario nowcast block
+    n0 = base_model.n_ingested
+    nc_ds = nowcasts[0].ds
+    m_nc = len(nc_ds)
+    x_nc = base_model._normalize_dates(nc_ds)
+    n_new = n0 + m_nc
+    cap = max(base_model._cap, int(np.ceil(n_new / 64)) * 64)
+
+    x_row = np.zeros(cap, dtype=np.float32)
+    x_row[:n0] = np.asarray(base_model._x_d)[:n0]
+    x_row[n0:n_new] = x_nc
+    y_rows = np.zeros((S, cap), dtype=np.float32)
+    y_rows[:, :n0] = np.asarray(base_model._y_d)[:n0]
+    for s, nc in enumerate(nowcasts):
+        y_rows[s, n0:n_new] = (
+            np.asarray(nc.y, dtype=np.float64) - base_model._y_mean
+        ) / base_model._y_std
+    mask_old = (np.arange(cap) < n0).astype(np.float32)
+    mask_new = (np.arange(cap) < n_new).astype(np.float32)
+
+    x_b = jnp.broadcast_to(jnp.asarray(x_row), (R, cap))
+    y_b = jnp.asarray(np.repeat(y_rows, P, axis=0))
+    m_old_b = jnp.broadcast_to(jnp.asarray(mask_old), (R, cap))
+    m_new_b = jnp.broadcast_to(jnp.asarray(mask_new), (R, cap))
+
+    # --- tile particle state across scenarios
+    host_types = np.tile(base_model._host_types, (S, 1))
+    params = jnp.tile(base_model._params_d, (S, 1, 1))
+    log_noise = jnp.tile(base_model._log_noise_d, (S,))
+    types_d = jnp.asarray(host_types)
+
+    # cached LML may be on a different (shuffled-capacity) buffer; recompute
+    # on this buffer so add_data deltas are consistent.
+    lml_old = gp_lml_batch(types_d, params, log_noise, x_b, y_b, m_old_b,
+                           DEFAULT_JITTER)
+    lml_new = gp_lml_batch(types_d, params, log_noise, x_b, y_b, m_new_b,
+                           DEFAULT_JITTER)
+    delta = np.asarray(lml_new, dtype=np.float64) - np.asarray(lml_old, np.float64)
+    log_w = np.tile(base_model.log_weight, S) + delta  # (R,)
+    lml = lml_new
+
+    # --- per-scenario ESS resampling (host index math, one device gather)
+    if ess_threshold > 0:
+        rng = np.random.default_rng(base_model.rng.integers(2**63))
+        flat_idx = np.arange(R, dtype=np.int32)
+        resampled_any = False
+        for s in range(S):
+            sl = slice(s * P, (s + 1) * P)
+            if _ess(log_w[sl]) < ess_threshold * P:
+                idx = resample_indices(rng, log_w[sl])
+                flat_idx[sl] = idx + s * P
+                log_w[sl] = 0.0
+                resampled_any = True
+        if resampled_any:
+            params, log_noise, lml = gather_particles(
+                (params, log_noise, lml), jnp.asarray(flat_idx)
+            )
+            host_types = host_types[flat_idx]
+            types_d = jnp.asarray(host_types)
+
+    # --- rejuvenation on the flattened batch
+    key = base_model.next_key()
+    if n_mcmc > 0 and n_hmc > 0:
+        rng2 = np.random.default_rng(base_model.rng.integers(2**63))
+        host_types, params, log_noise, lml, key, _ = mcmc_structure_sweep(
+            rng2, key, host_types, params, log_noise, lml, x_b, y_b, m_new_b,
+            base_model.config, n_mcmc, n_hmc, hmc_cfg, DEFAULT_JITTER,
+            noise_mu, noise_sigma, infer,
+        )
+        types_d = jnp.asarray(host_types)
+    elif n_mcmc == 0 and n_hmc > 0:
+        mu, sg, act = (jnp.asarray(a) for a in
+                       prior_arrays(host_types, base_model.config))
+        key, sub = jax.random.split(key)
+        params, log_noise, lml, _ = run_hmc(
+            types_d, params, log_noise, mu, sg, act, x_b, y_b, m_new_b, sub,
+            n_steps=int(n_hmc), n_leapfrog=hmc_cfg.n_leapfrog,
+            step_size=hmc_cfg.step_size, step_jitter=hmc_cfg.step_size_jitter,
+            jitter=DEFAULT_JITTER, noise_mu=noise_mu, noise_sigma=noise_sigma,
+            infer_noise=infer,
+        )
+
+    # --- forecast sampling
+    xs = jnp.asarray(base_model._normalize_dates(list(forecast_dates)), jnp.float32)
+    m_out = xs.shape[0]
+    D = draws_per_nowcast
+
+    def _sample(params, log_noise, types_d, lml_cache, key):
+        mu, cov = gp_predict_batch(
+            types_d, params, log_noise, x_b, y_b, m_new_b, xs,
+            DEFAULT_JITTER, True,
+        )
+        chol = jnp.linalg.cholesky(
+            cov + 1e-8 * jnp.eye(m_out, dtype=cov.dtype)[None]
+        )
+        return mu, chol
+
+    logw_d = jnp.asarray(log_w.reshape(S, P), jnp.float32)
+
+    if forecast_n_hmc is None:
+        mu, chol = _sample(params, log_noise, types_d, lml, key)
+        key, k_comp, k_eps = jax.random.split(key, 3)
+        comps = jax.random.categorical(k_comp, logw_d, axis=-1, shape=(D, S)).T  # (S, D)
+        flat_comp = (comps + jnp.arange(S)[:, None] * P).reshape(-1)  # (S*D,)
+        eps = jax.random.normal(k_eps, (S * D, m_out), mu.dtype)
+        samples = mu[flat_comp] + jnp.einsum("rij,rj->ri", chol[flat_comp], eps)
+        out = np.asarray(samples, dtype=np.float64).reshape(S * D, m_out).T
+    else:
+        # per-draw HMC refresh on the flattened batch, then one draw/scenario
+        out = np.empty((m_out, S * D))
+        mu_pr, sg_pr, act_pr = (jnp.asarray(a) for a in
+                                prior_arrays(host_types, base_model.config))
+        for j in range(D):
+            key, k_hmc, k_comp, k_eps = jax.random.split(key, 4)
+            params, log_noise, lml, _ = run_hmc(
+                types_d, params, log_noise, mu_pr, sg_pr, act_pr,
+                x_b, y_b, m_new_b, k_hmc,
+                n_steps=int(forecast_n_hmc), n_leapfrog=hmc_cfg.n_leapfrog,
+                step_size=hmc_cfg.step_size,
+                step_jitter=hmc_cfg.step_size_jitter,
+                jitter=DEFAULT_JITTER, noise_mu=noise_mu,
+                noise_sigma=noise_sigma, infer_noise=infer,
+            )
+            mu, chol = _sample(params, log_noise, types_d, lml, key)
+            comps = jax.random.categorical(k_comp, logw_d, axis=-1)  # (S,)
+            flat_comp = comps + jnp.arange(S) * P
+            eps = jax.random.normal(k_eps, (S, m_out), mu.dtype)
+            draw = mu[flat_comp] + jnp.einsum("sij,sj->si", chol[flat_comp], eps)
+            out[:, j::D] = np.asarray(draw, dtype=np.float64).T
+
+    # back to the transformed-data scale, then the original scale
+    out = base_model._y_mean + base_model._y_std * out
+    if verbose:
+        logger.info("Batched nowcast forecast: %d scenarios x %d draws", S, D)
+    return apply_elementwise(inv_transformation, out)

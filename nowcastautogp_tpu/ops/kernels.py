@@ -1,14 +1,15 @@
 """Device-side covariance assembly from encoded kernel expression trees.
 
-One select-based interpreter evaluates a *set of heterogeneous trees* under a
-single `vmap` (SURVEY.md §7 "hard parts"): node types are traced values, the
+A *level-vectorized* interpreter evaluates a set of heterogeneous trees under
+one `vmap` (SURVEY.md §7 "hard parts"): node types are traced values and the
 heap layout is static, so XLA compiles one program for every structure the
-MCMC can visit.  All node-type branches are computed and mask-selected per
-heap slot — the behavior a `lax.switch` would lower to under `vmap` anyway
-(lanes hold different structures), but as one flat elementwise graph that
-compiles fast and vectorizes across particle lanes without divergence.  The
-per-branch work is O(n·m) elementwise, cheap next to the O(n³) Cholesky
-downstream.
+MCMC can visit.  Instead of walking 31 heap slots one by one (whose per-node
+select chains made XLA autodiff compile time explode), the interpreter
+processes the heap *one level at a time*: all leaf-kernel values of a level
+are computed as a single batched tensor op over the level's node axis, then
+combined with the level below by mask-selects (Plus/Times/ChangePoint).  A
+depth-5 heap is 5 vectorized steps — a compact graph that differentiates and
+vmaps cheaply, and whose big elementwise blocks XLA fuses onto the VPU.
 
 Kernel semantics (unconstrained params; x is the time axis normalized to the
 training window per the engine contract documented in SURVEY.md §2.3):
@@ -29,6 +30,8 @@ SE as superseded by GammaExp in the default prior,
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -37,73 +40,72 @@ from ..models.structures import CONST, CP, GE, LINEAR, PERIODIC, PLUS, SE, TIMES
 __all__ = ["eval_cov", "eval_cov_impl", "eval_cov_batch"]
 
 
-def _node_value(t, p, left, right, x1, x2, d, r, r2):
-    """One heap slot's covariance block, selected by (traced) node type.
+def _leaf_values(t, p, x1, x2, r, r2):
+    """Leaf-kernel values for one heap level: t (k,), p (k,3) -> (k, n, m)."""
+    tcol = t[:, None, None]
+    p0 = p[:, 0][:, None, None]
+    p1 = p[:, 1][:, None, None]
+    p2 = p[:, 2][:, None, None]
 
-    Every branch is evaluated and combined with equality-mask `where`s rather
-    than `lax.switch`: under `vmap` a switch lowers to selects anyway (lanes
-    hold different structures), so this is runtime-equivalent on the hot path
-    while compiling as one flat elementwise graph instead of a tower of
-    conditionals — an order of magnitude faster to compile at 31 heap slots.
-    """
-    dt = d.dtype
-    tiny = jnp.asarray(1e-12, dtype=dt)
-
-    k_const = jnp.exp(p[0]) * jnp.ones_like(d)
-    k_linear = jnp.exp(p[1]) * ((x1 - p[0])[:, None] * (x2 - p[0])[None, :])
-    k_se = jnp.exp(p[1]) * jnp.exp(-0.5 * r2 * jnp.exp(-2.0 * p[0]))
-    # GammaExp: guard r=0 so the fractional power has finite diagonal grads
-    gamma = 2.0 * jax.nn.sigmoid(p[1])
-    r_scaled = jnp.maximum(r * jnp.exp(-p[0]), tiny)
-    k_ge = jnp.exp(p[2]) * jnp.where(
-        r > 0, jnp.exp(-jnp.power(r_scaled, gamma)), 1.0
+    k_const = jnp.exp(p0) * jnp.ones_like(r)[None]
+    cx1 = x1[None, :] - p[:, 0][:, None]  # (k, n)
+    cx2 = x2[None, :] - p[:, 0][:, None]  # (k, m)
+    k_lin = jnp.exp(p1) * (cx1[:, :, None] * cx2[:, None, :])
+    k_se = jnp.exp(p1) * jnp.exp(-0.5 * r2[None] * jnp.exp(-2.0 * p0))
+    gamma = 2.0 * jax.nn.sigmoid(p1)
+    # guard r=0 so the fractional power has finite gradients on the diagonal
+    r_scaled = jnp.maximum(r[None] * jnp.exp(-p0), 1e-12)
+    k_ge = jnp.exp(p2) * jnp.where(
+        r[None] > 0, jnp.exp(-jnp.power(r_scaled, gamma)), 1.0
     )
-    s = jnp.sin(jnp.pi * r * jnp.exp(-p[1]))
-    k_per = jnp.exp(p[2]) * jnp.exp(-2.0 * s * s * jnp.exp(-2.0 * p[0]))
-    k_plus = left + right
-    k_times = left * right
-    inv_scale = jnp.exp(-p[1])
-    s1 = jax.nn.sigmoid((x1 - p[0]) * inv_scale)
-    s2 = jax.nn.sigmoid((x2 - p[0]) * inv_scale)
-    k_cp = (
-        s1[:, None] * s2[None, :] * left
-        + (1.0 - s1)[:, None] * (1.0 - s2)[None, :] * right
-    )
+    s = jnp.sin(jnp.pi * r[None] * jnp.exp(-p1))
+    k_per = jnp.exp(p2) * jnp.exp(-2.0 * s * s * jnp.exp(-2.0 * p0))
 
-    out = jnp.zeros_like(d)
+    out = jnp.zeros_like(k_se)
     for code, val in (
-        (CONST, k_const), (LINEAR, k_linear), (SE, k_se), (GE, k_ge),
-        (PERIODIC, k_per), (PLUS, k_plus), (TIMES, k_times), (CP, k_cp),
+        (CONST, k_const), (LINEAR, k_lin), (SE, k_se),
+        (GE, k_ge), (PERIODIC, k_per),
     ):
-        out = jnp.where(t == code, val, out)
+        out = jnp.where(tcol == code, val, out)
     return out
 
 
 def eval_cov_impl(node_types, params, x1, x2):
     """Evaluate one tree's covariance K(x1, x2) -> (n, m).
 
-    node_types: int32[max_nodes] heap encoding; params: f32[max_nodes, 3]
-    unconstrained; x1: (n,), x2: (m,).  Pure function of traced values —
-    heap size is the only static shape, so one compilation covers every
-    structure the MCMC visits.
+    node_types: int32[max_nodes] heap encoding (children of ``i`` at
+    ``2i+1``/``2i+2``); params: f32[max_nodes, 3] unconstrained; x1: (n,),
+    x2: (m,).  Heap size is the only static shape, so one compilation covers
+    every structure the MCMC visits.
     """
     max_nodes = node_types.shape[0]
+    levels = int(math.log2(max_nodes + 1))
     d = x1[:, None] - x2[None, :]
     r = jnp.abs(d)
     r2 = d * d
-    zeros = jnp.zeros(d.shape, dtype=d.dtype)
 
-    # bottom-up over the static heap: children computed before parents.
-    # Leaf-only slots (the bottom heap level) skip the combinator math.
-    vals: list = [None] * max_nodes
-    for i in range(max_nodes - 1, -1, -1):
-        li, ri = 2 * i + 1, 2 * i + 2
-        left = vals[li] if li < max_nodes else zeros
-        right = vals[ri] if ri < max_nodes else zeros
-        vals[i] = _node_value(
-            node_types[i], params[i], left, right, x1, x2, d, r, r2
-        )
-    return vals[0]
+    below = None  # (2**lev, n, m) values of the level just processed
+    for lev in range(levels - 1, -1, -1):
+        lo, hi = 2**lev - 1, 2 ** (lev + 1) - 1
+        t = node_types[lo:hi]
+        p = params[lo:hi]
+        cur = _leaf_values(t, p, x1, x2, r, r2)
+        if below is not None:
+            left = below[0::2]
+            right = below[1::2]
+            tcol = t[:, None, None]
+            cur = jnp.where(tcol == PLUS, left + right, cur)
+            cur = jnp.where(tcol == TIMES, left * right, cur)
+            inv_scale = jnp.exp(-p[:, 1][:, None])
+            s1 = jax.nn.sigmoid((x1[None, :] - p[:, 0][:, None]) * inv_scale)
+            s2 = jax.nn.sigmoid((x2[None, :] - p[:, 0][:, None]) * inv_scale)
+            k_cp = (
+                s1[:, :, None] * s2[:, None, :] * left
+                + (1.0 - s1)[:, :, None] * (1.0 - s2)[:, None, :] * right
+            )
+            cur = jnp.where(tcol == CP, k_cp, cur)
+        below = cur
+    return below[0]
 
 
 # Batched over particles: node_types (P, N), params (P, N, 3), shared x1/x2.

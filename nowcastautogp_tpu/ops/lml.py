@@ -57,7 +57,9 @@ def gp_lml(node_types, params, log_noise, x, y, mask, jitter=DEFAULT_JITTER):
 
 
 gp_lml_impl = gp_lml
-gp_lml_batch = jax.jit(jax.vmap(gp_lml_impl, in_axes=(0, 0, 0, None, None, None, None)))
+# batched over particles; data buffers x/y/mask are per-particle too (broadcast
+# upstream for single-model fits, distinct rows for scenario batches)
+gp_lml_batch = jax.jit(jax.vmap(gp_lml_impl, in_axes=(0, 0, 0, 0, 0, 0, None)))
 gp_lml = jax.jit(gp_lml_impl)
 
 
@@ -89,6 +91,6 @@ def gp_predict(
 
 gp_predict_impl = gp_predict
 gp_predict_batch = jax.jit(
-    jax.vmap(gp_predict_impl, in_axes=(0, 0, 0, None, None, None, None, None, None))
+    jax.vmap(gp_predict_impl, in_axes=(0, 0, 0, 0, 0, 0, None, None, None))
 )
 gp_predict = jax.jit(gp_predict_impl)

@@ -15,25 +15,10 @@ import dataclasses
 
 import numpy as np
 
+from .utils.apply import apply_elementwise as _apply_elementwise
 from .utils.dates import as_date_array
 
 __all__ = ["TData", "create_transformed_data"]
-
-
-def _apply_elementwise(fn, values: np.ndarray) -> np.ndarray:
-    """Apply ``fn`` to an array, falling back to elementwise application.
-
-    Vectorized (numpy-aware) transformations are applied directly; scalar-only
-    callables (e.g. ``math.log``) are mapped per element.
-    """
-    try:
-        out = fn(values)
-        out = np.asarray(out)
-        if out.shape != values.shape:
-            raise ValueError("non-elementwise transformation result")
-        return out
-    except Exception:
-        return np.asarray([fn(v) for v in values.tolist()])
 
 
 @dataclasses.dataclass(frozen=True)
