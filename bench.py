@@ -1,0 +1,102 @@
+"""Benchmark: north-star workload on one TPU chip.
+
+Target (BASELINE.md / BASELINE.json north star): a 200-particle ensemble on
+an NHSN-like weekly series — SMC structure-discovery fit plus a 100-scenario
+x 20-draw nowcast-conditioned forecast (the reference's canonical 2000-draw
+forecast workload, ``docs/vignettes/getting-started.jl:415,498,548``) — in
+under 60 s of wall-clock on a single v5e.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+``vs_baseline`` is target_seconds / measured_seconds (>1 beats the target).
+Compile time is excluded via a warm-up fit on the same shapes (first-compile
+on this tunnel is minutes but one-time; the persistent cache covers repeat
+runs).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def _series(n: int, seed: int = 0):
+    import datetime as dt
+
+    rng = np.random.default_rng(seed)
+    dates = [dt.date(2022, 1, 3) + dt.timedelta(weeks=i) for i in range(n)]
+    t = np.arange(n)
+    truth = 800 * np.exp(
+        0.15 * np.sin(2 * np.pi * t / 52)
+        + 0.6 * np.sin(2 * np.pi * t / 26 + 1.0)
+        - 0.004 * t
+    )
+    obs = np.maximum(truth * np.exp(0.12 * rng.standard_normal(n)), 1.0)
+    return dates, obs
+
+
+def run(n_particles=200, n_train=150, n_mcmc=50, n_hmc=10,
+        n_scenarios=100, draws_per=20, horizon=4, seed=1, verbose=False):
+    import datetime as dt
+
+    import nowcastautogp_tpu as ngp
+
+    dates, obs = _series(n_train + 2, seed)
+    train_dates, train_obs = dates[:n_train], obs[:n_train]
+    fwd, inv = ngp.get_transformations("boxcox", train_obs)
+    data = ngp.create_transformed_data(train_dates, train_obs, transformation=fwd)
+
+    t0 = time.time()
+    model = ngp.make_and_fit_model(
+        data, n_particles=n_particles, smc_data_proportion=0.1,
+        n_mcmc=n_mcmc, n_hmc=n_hmc, seed=seed, verbose=verbose,
+        adaptive_rejuvenation=True,
+    )
+    fit_s = time.time() - t0
+
+    # nowcast scenarios: last two weeks still being revised
+    rng = np.random.default_rng(seed + 1)
+    nc_dates = dates[n_train:n_train + 2]
+    nc_draws = obs[n_train:n_train + 2] * rng.lognormal(
+        0.1, 0.027, size=(n_scenarios, 2)
+    )
+    ncs = ngp.create_nowcast_data(list(nc_draws), nc_dates, transformation=fwd)
+    f_dates = [nc_dates[-1] + dt.timedelta(weeks=i + 1) for i in range(horizon)]
+
+    t0 = time.time()
+    fc = ngp.forecast_with_nowcasts(
+        model, ncs, f_dates, draws_per, inv_transformation=inv,
+        n_hmc=5, ess_threshold=0.5,
+    )
+    fc_s = time.time() - t0
+    assert fc.shape == (horizon, n_scenarios * draws_per)
+    assert np.all(np.isfinite(fc)) and np.all(fc >= 0)
+    return fit_s, fc_s, fc
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/ngp_jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    # warm-up at identical shapes: compile everything once, tiny budgets
+    run(n_particles=200, n_train=150, n_mcmc=1, n_hmc=10,
+        n_scenarios=100, draws_per=20, seed=1)
+
+    fit_s, fc_s, fc = run(seed=2)
+    total = fit_s + fc_s
+    target = 60.0
+    print(json.dumps({
+        "metric": "nhsn_200p_fit_plus_100x20_nowcast_forecast_wallclock",
+        "value": round(total, 2),
+        "unit": "s",
+        "vs_baseline": round(target / total, 3),
+        "detail": {"fit_s": round(fit_s, 2), "nowcast_forecast_s": round(fc_s, 2),
+                    "target_s": target},
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -107,19 +107,46 @@ def forecast_with_nowcasts(
         "forecast_n_hmc must be > 0 if specified"
     )
 
-    if _shared_dates(nowcasts):
-        return _forecast_with_nowcasts_batched(
-            base_model, nowcasts, forecast_dates, int(forecast_draws_per_nowcast),
-            inv_transformation=inv_transformation, n_mcmc=n_mcmc, n_hmc=n_hmc,
-            ess_threshold=ess_threshold, forecast_n_hmc=forecast_n_hmc,
-            verbose=verbose,
-        )
-    return _forecast_with_nowcasts_serial(
-        base_model, nowcasts, forecast_dates, int(forecast_draws_per_nowcast),
+    kw = dict(
         inv_transformation=inv_transformation, n_mcmc=n_mcmc, n_hmc=n_hmc,
         ess_threshold=ess_threshold, forecast_n_hmc=forecast_n_hmc,
         verbose=verbose,
     )
+    if not _shared_dates(nowcasts):
+        return _forecast_with_nowcasts_serial(
+            base_model, nowcasts, forecast_dates,
+            int(forecast_draws_per_nowcast), **kw,
+        )
+
+    # HBM budget: the flattened scenario x particle batch materializes
+    # interpreter intermediates of ~deepest_level_width * cap^2 * 4 bytes per
+    # row, so big scenario sets are processed in fixed-size chunks (identical
+    # shapes -> one compilation; the last chunk is padded and trimmed).
+    S = len(nowcasts)
+    P = base_model.num_particles
+    cap_est = max(base_model._cap, 64)
+    deepest = (base_model.config.max_nodes + 1) // 2
+    bytes_per_row = deepest * cap_est * cap_est * 4
+    chunk = int(np.clip(1.2e9 // max(P * bytes_per_row, 1), 1, S))
+    if chunk >= S:
+        return _forecast_with_nowcasts_batched(
+            base_model, nowcasts, forecast_dates,
+            int(forecast_draws_per_nowcast), **kw,
+        )
+    blocks = []
+    D = int(forecast_draws_per_nowcast)
+    for lo in range(0, S, chunk):
+        part = nowcasts[lo:lo + chunk]
+        n_real = len(part)
+        if n_real < chunk:  # pad to the compiled chunk shape, trim after
+            part = part + [part[-1]] * (chunk - n_real)
+        block = _forecast_with_nowcasts_batched(
+            base_model, part, forecast_dates, D, **kw,
+        )
+        blocks.append(block[:, : n_real * D])
+        if verbose:
+            logger.info("nowcast chunk %d-%d/%d done", lo, lo + n_real, S)
+    return np.concatenate(blocks, axis=1)
 
 
 def _forecast_with_nowcasts_serial(

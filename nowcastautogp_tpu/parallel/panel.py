@@ -1,0 +1,197 @@
+"""Multi-jurisdiction panel fitting: many series, one SPMD program.
+
+BASELINE.json config 5 ("Multi-jurisdiction NHSN panel: vmapped per-state
+fits + incremental add_data revision refits") — a capability the reference
+lacks entirely (its vignettes loop over report dates serially,
+``/root/reference/docs/vignettes/getting-started.jl:377-391``; SURVEY.md
+§2.5).  Design: the particle ensembles of S series are flattened to one
+``R = S x P`` row axis with *per-row* data buffers (each series keeps its own
+time/target normalization), so every SMC phase — reweight, structure-move
+accept, HMC — is a single batched device call across all jurisdictions.
+Series are annealed on a shared proportion grid (each step conditions
+``ceil(f_k * n_s)`` points of series ``s``), resampling is per-series (host
+index math, one device gather), and with a `jax.sharding.Mesh` the row axis
+shards across chips with zero cross-series collectives.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..inference.resample import ess as _ess
+from ..inference.resample import gather_particles, resample_indices
+from ..inference.schedule import linear_schedule
+from ..inference.structure_mcmc import mcmc_structure_sweep
+from ..models.config import GPConfig, HMCConfig
+from ..models.gp_model import GPModel, _pad_to
+from ..models.structures import prior_arrays, sample_particle
+from ..ops.lml import DEFAULT_JITTER, gp_lml_batch
+from ..fitting import _stabilize_for_fit
+from ..utils.dates import dates_to_float
+from .sharding import shard_rows
+
+__all__ = ["fit_panel"]
+
+
+def fit_panel(
+    datasets, *, n_particles: int = 1, smc_data_proportion: float = 0.1,
+    n_mcmc, n_hmc, config: GPConfig | None = None,
+    hmc_config: HMCConfig | None = None, flat_threshold: float = 1e-3,
+    adaptive_rejuvenation: bool = False, ess_fraction: float = 0.5,
+    seed: int | None = None, mesh=None, verbose: bool = False,
+) -> list[GPModel]:
+    """Fit one GP particle ensemble per series, batched across the panel.
+
+    ``datasets``: sequence of ``TData`` (one per jurisdiction/series).
+    Returns a list of fitted ``GPModel``s (same config object shared by
+    reference, like the single-series path).  ``mesh``: optional
+    ``jax.sharding.Mesh`` whose first axis shards the flattened
+    series x particle rows across devices.
+    """
+    n_mcmc = int(n_mcmc)
+    n_hmc = int(n_hmc)
+    datasets = list(datasets)
+    S = len(datasets)
+    assert S > 0, "datasets must not be empty"
+    P = int(n_particles)
+    R = S * P
+    config = config if config is not None else GPConfig()
+    hmc_cfg = hmc_config or HMCConfig()
+
+    seed_seq = np.random.SeedSequence(seed)
+    rng = np.random.default_rng(seed_seq)
+    key = jax.random.PRNGKey(int(seed_seq.generate_state(1)[0]))
+
+    # ---- per-series normalization + shared-capacity padded buffers
+    lens = [len(d.y) for d in datasets]
+    cap = max(64, int(np.ceil(max(lens) / 64)) * 64)
+    norms, x_rows_s, y_rows_s, orders, y_fits = [], [], [], [], []
+    for d in datasets:
+        t_raw = dates_to_float(d.ds)
+        y_fit = np.asarray(
+            _stabilize_for_fit(d.y, flat_threshold=flat_threshold, rng=rng),
+            dtype=np.float64,
+        )
+        t0 = float(t_raw.min())
+        t_scale = float(t_raw.max() - t_raw.min()) or 1.0
+        y_mean = float(y_fit.mean())
+        y_std = float(y_fit.std()) or 1.0
+        order = rng.permutation(len(y_fit))
+        norms.append((t0, t_scale, y_mean, y_std))
+        orders.append(order)
+        y_fits.append(y_fit)
+        x_rows_s.append(_pad_to(((t_raw - t0) / t_scale)[order], cap))
+        y_rows_s.append(_pad_to(((y_fit - y_mean) / y_std)[order], cap))
+
+    x_rows = np.repeat(np.stack(x_rows_s), P, axis=0)  # (R, cap)
+    y_rows = np.repeat(np.stack(y_rows_s), P, axis=0)
+    lens_row = np.repeat(np.asarray(lens), P)  # (R,)
+
+    # ---- particle initialization (independent per row)
+    ts, ps, lns = [], [], []
+    for _ in range(R):
+        t, p, ln = sample_particle(rng, config)
+        ts.append(t)
+        ps.append(p)
+        lns.append(ln)
+    host_types = np.stack(ts).astype(np.int32)
+    params = jnp.asarray(np.stack(ps), jnp.float32)
+    log_noise = jnp.asarray(np.asarray(lns, np.float32))
+    lml = jnp.zeros(R, jnp.float32)
+    log_w = np.zeros(R, dtype=np.float64)
+
+    x_b = jnp.asarray(x_rows, jnp.float32)
+    y_b = jnp.asarray(y_rows, jnp.float32)
+    if mesh is not None:
+        x_b, y_b, params, log_noise, lml = shard_rows(
+            (x_b, y_b, params, log_noise, lml), mesh
+        )
+
+    wc = config.prior["wildcard"]
+    noise_mu, noise_sigma = float(wc["mu"]) - 2.0, float(wc["sigma"])
+    infer = 0.0 if config.noise is not None else 1.0
+
+    # ---- shared proportion grid: anneal every series together
+    n_max = max(lens)
+    eff_prop = max(smc_data_proportion, 1.0 / n_max)
+    fractions = [k / n_max for k in linear_schedule(n_max, eff_prop)]
+
+    n_cur = np.zeros(R, dtype=np.int64)
+    iota = np.arange(cap)
+    for f in fractions:
+        n_new = np.minimum(np.ceil(f * lens_row).astype(np.int64), lens_row)
+        mask_b = jnp.asarray((iota[None, :] < n_new[:, None]).astype(np.float32))
+        lml_new = gp_lml_batch(
+            jnp.asarray(host_types), params, log_noise, x_b, y_b, mask_b,
+            DEFAULT_JITTER,
+        )
+        log_w += np.asarray(lml_new, np.float64) - np.asarray(lml, np.float64)
+        lml = lml_new
+        n_cur = n_new
+
+        # per-series ESS resampling
+        low = []
+        flat_idx = np.arange(R, dtype=np.int32)
+        for s in range(S):
+            sl = slice(s * P, (s + 1) * P)
+            if P > 1 and _ess(log_w[sl]) < ess_fraction * P:
+                flat_idx[sl] = resample_indices(rng, log_w[sl]) + s * P
+                log_w[sl] = 0.0
+                low.append(s)
+        if low:
+            params, log_noise, lml = gather_particles(
+                (params, log_noise, lml), jnp.asarray(flat_idx)
+            )
+            host_types = host_types[flat_idx]
+        do_rejuvenate = bool(low) or not adaptive_rejuvenation
+        if do_rejuvenate and n_mcmc > 0:
+            host_types, params, log_noise, lml, key, _ = mcmc_structure_sweep(
+                rng, key, host_types, params, log_noise, lml, x_b, y_b, mask_b,
+                config, n_mcmc, n_hmc, hmc_cfg, DEFAULT_JITTER,
+                noise_mu, noise_sigma, infer,
+            )
+        elif do_rejuvenate and n_hmc > 0:
+            from ..inference.hmc import run_hmc
+
+            mu, sg, act = (jnp.asarray(a) for a in
+                           prior_arrays(host_types, config))
+            key, sub = jax.random.split(key)
+            params, log_noise, lml, _ = run_hmc(
+                jnp.asarray(host_types), params, log_noise, mu, sg, act,
+                x_b, y_b, mask_b, sub,
+                n_steps=n_hmc, n_leapfrog=hmc_cfg.n_leapfrog,
+                step_size=hmc_cfg.step_size, step_jitter=hmc_cfg.step_size_jitter,
+                jitter=DEFAULT_JITTER, noise_mu=noise_mu,
+                noise_sigma=noise_sigma, infer_noise=infer,
+            )
+
+    # ---- split rows back into per-series GPModels
+    params_np = np.asarray(params)
+    log_noise_np = np.asarray(log_noise)
+    lml_np = np.asarray(lml)
+    models = []
+    for s, d in enumerate(datasets):
+        sl = slice(s * P, (s + 1) * P)
+        t0, t_scale, y_mean, y_std = norms[s]
+        sub_seed = seed_seq.generate_state(2 + s)[-1]
+        model = GPModel({
+            "version": 1,
+            "ds": d.ds,
+            "y": y_fits[s],  # the (possibly jitter-stabilized) fitted targets
+            "order": orders[s].astype(np.int64),
+            "n_ingested": lens[s],
+            "t0": t0, "t_scale": t_scale, "y_mean": y_mean, "y_std": y_std,
+            "node_types": host_types[sl],
+            "params": params_np[sl],
+            "log_noise": log_noise_np[sl],
+            "lml": lml_np[sl],
+            "log_weight": log_w[sl].copy(),
+            "config": config,
+            "rng_state": np.random.default_rng(int(sub_seed)).bit_generator.state,
+            "key": np.asarray(jax.random.key_data(jax.random.PRNGKey(int(sub_seed)))),
+        })
+        models.append(model)
+    return models

@@ -1,0 +1,99 @@
+"""Multi-chip scaling: device meshes and sharded SMC training steps.
+
+The reference's only parallelism is shared-memory threads over particles and
+nowcast scenarios (``/root/reference/src/forecasting.jl:131-166``); SURVEY.md
+§2.5 maps this to the TPU story implemented here: a 1-D device mesh over a
+``series`` axis (multi-jurisdiction panels and/or scenario batches), with
+every per-row array sharded on its leading axis.  Per-series GP fitting needs
+*zero* cross-series communication, so XLA's SPMD partitioner runs the whole
+rejuvenation step (reweight LML -> structure-move accept -> HMC sweep) as
+embarrassingly-parallel per-shard compute — collectives appear only if a
+caller reduces diagnostics across the mesh.  ICI is therefore never a
+bottleneck; scaling is linear in devices until a shard's particle rows no
+longer fill the chip.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.lml import DEFAULT_JITTER, gp_lml_impl
+from ..inference.hmc import _hmc_single
+
+__all__ = ["make_mesh", "shard_rows", "panel_smc_step"]
+
+
+def make_mesh(n_devices: int | None = None, axis_name: str = "series") -> Mesh:
+    devs = jax.devices()
+    n = len(devs) if n_devices is None else int(n_devices)
+    return Mesh(np.array(devs[:n]), (axis_name,))
+
+
+def shard_rows(tree, mesh: Mesh, axis_name: str = "series"):
+    """Place every array with its leading (row) axis sharded over the mesh."""
+    row_sh = NamedSharding(mesh, P(axis_name))
+    repl = NamedSharding(mesh, P())
+
+    def put(a):
+        a = jnp.asarray(a)
+        if a.ndim >= 1 and a.shape[0] % mesh.devices.size == 0:
+            return jax.device_put(a, row_sh)
+        return jax.device_put(a, repl)
+
+    return jax.tree_util.tree_map(put, tree)
+
+
+@partial(jax.jit, static_argnames=("n_hmc", "n_leapfrog"))
+def panel_smc_step(
+    types_old, types_prop, params, params_prop,
+    pri_old, pri_prop, log_hastings, log_noise, log_weight, lml_cached,
+    x, y, mask_new, key, *,
+    n_hmc, n_leapfrog, step_size=0.02, step_jitter=0.5,
+    jitter=DEFAULT_JITTER, noise_mu=-2.0, noise_sigma=1.0, infer_noise=1.0,
+):
+    """One full SMC training step over a flattened (series x particle) axis.
+
+    Fuses the three phases of the engine's per-step work (SURVEY.md §3.1 hot
+    loop) into one compiled program: (1) reweight — masked LML on the grown
+    conditioning set updates the log importance weights; (2) one involutive
+    structure move — MH accept of host-proposed subtree regenerations;
+    (3) ``n_hmc`` HMC trajectories on the surviving trees.  With row-sharded
+    inputs the XLA SPMD partitioner executes each shard independently on its
+    device — no collectives on the hot path.
+    """
+    R = params.shape[0]
+    k_acc, k_hmc = jax.random.split(key)
+
+    lml_v = jax.vmap(gp_lml_impl, in_axes=(0, 0, 0, 0, 0, 0, None))
+
+    # (1) reweight to the new mask
+    lml_new = lml_v(types_old, params, log_noise, x, y, mask_new, jitter)
+    log_weight = log_weight + (lml_new - lml_cached)
+
+    # (2) structure-move accept (subtree-from-prior proposals cancel to an
+    # LML ratio plus the node-count Hastings term)
+    lml_prop = lml_v(types_prop, params_prop, log_noise, x, y, mask_new, jitter)
+    logit = lml_prop - lml_new + log_hastings
+    accept = jnp.log(jax.random.uniform(k_acc, (R,))) < logit
+    types = jnp.where(accept[:, None], types_prop, types_old)
+    params = jnp.where(accept[:, None, None], params_prop, params)
+    mu = jnp.where(accept[:, None, None], pri_prop[0], pri_old[0])
+    sg = jnp.where(accept[:, None, None], pri_prop[1], pri_old[1])
+    act = jnp.where(accept[:, None, None], pri_prop[2], pri_old[2])
+    lml = jnp.where(accept, lml_prop, lml_new)
+
+    # (3) HMC rejuvenation
+    keys = jax.random.split(k_hmc, R)
+    params, log_noise, lml, acc_rate = jax.vmap(
+        _hmc_single, in_axes=(0,) * 10 + (None,) * 8
+    )(
+        types, params, log_noise, mu, sg, act, x, y, mask_new, keys,
+        n_hmc, n_leapfrog, step_size, step_jitter,
+        jitter, noise_mu, noise_sigma, infer_noise,
+    )
+    return types, params, log_noise, log_weight, lml, accept, acc_rate

@@ -1,0 +1,123 @@
+"""Multi-chip sharding + multi-jurisdiction panel tests (8-device CPU mesh).
+
+The reference has no distributed runtime to mirror (SURVEY.md §2.5); these
+tests validate the TPU-native scaling story: sharded SMC training steps over a
+series mesh, and batched panel fits that match the single-series API.
+"""
+
+import datetime as dt
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import nowcastautogp_tpu as ngp
+from nowcastautogp_tpu.parallel.panel import fit_panel
+from nowcastautogp_tpu.parallel.sharding import make_mesh, shard_rows
+
+
+def _dates(n, start=dt.date(2023, 1, 2)):
+    return [start + dt.timedelta(weeks=i) for i in range(n)]
+
+
+def _panel(n_series=4, n=30, seed=0):
+    rng = np.random.default_rng(seed)
+    out = []
+    for s in range(n_series):
+        dates = _dates(n)
+        obs = (30 + 10 * s) * np.exp(
+            0.01 * np.arange(n) + 0.1 * rng.standard_normal(n)
+        )
+        out.append(ngp.create_transformed_data(dates, obs, transformation=np.log))
+    return out
+
+
+class TestMesh:
+    def test_make_mesh_uses_devices(self):
+        mesh = make_mesh(8)
+        assert mesh.devices.size == 8
+
+    def test_shard_rows_partitions_leading_axis(self):
+        mesh = make_mesh(8)
+        arr = jnp.zeros((16, 4))
+        (sharded,) = shard_rows((arr,), mesh)
+        # 16 rows over 8 devices -> 2 rows per shard
+        shard_shapes = {s.data.shape for s in sharded.addressable_shards}
+        assert shard_shapes == {(2, 4)}
+
+    def test_dryrun_multichip(self):
+        import sys, pathlib
+
+        sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+        import __graft_entry__ as graft
+
+        graft.dryrun_multichip(8)
+
+
+class TestPanel:
+    def test_fit_panel_returns_models(self):
+        datasets = _panel(3)
+        models = fit_panel(
+            datasets, n_particles=2, smc_data_proportion=0.34,
+            n_mcmc=1, n_hmc=1, seed=4,
+        )
+        assert len(models) == 3
+        for m, d in zip(models, datasets):
+            assert isinstance(m, ngp.GPModel)
+            assert m.num_particles == 2
+            assert m.n_ingested == len(d.y)
+            assert np.all(np.isfinite(m.log_weight))
+
+    def test_panel_models_forecast(self):
+        datasets = _panel(2, seed=1)
+        models = fit_panel(
+            datasets, n_particles=2, smc_data_proportion=0.5,
+            n_mcmc=0, n_hmc=1, seed=5,
+        )
+        fdates = _dates(2, start=datasets[0].ds[-1] + dt.timedelta(weeks=1))
+        for m in models:
+            fc = ngp.forecast(m, fdates, 10, inv_transformation=np.exp)
+            assert fc.shape == (2, 10)
+            assert np.all(np.isfinite(fc))
+
+    def test_panel_with_mesh(self):
+        mesh = make_mesh(4)
+        datasets = _panel(4, seed=2)
+        models = fit_panel(
+            datasets, n_particles=2, smc_data_proportion=0.5,
+            n_mcmc=1, n_hmc=1, seed=6, mesh=mesh,
+        )
+        assert len(models) == 4
+        for m in models:
+            assert np.all(np.isfinite(np.asarray(m._lml_d)))
+
+    def test_panel_heterogeneous_lengths(self):
+        rng = np.random.default_rng(9)
+        d1 = ngp.create_transformed_data(
+            _dates(20), np.exp(rng.normal(3, 0.2, 20)), transformation=np.log
+        )
+        d2 = ngp.create_transformed_data(
+            _dates(33), np.exp(rng.normal(2, 0.3, 33)), transformation=np.log
+        )
+        models = fit_panel(
+            [d1, d2], n_particles=2, smc_data_proportion=0.5,
+            n_mcmc=0, n_hmc=1, seed=7,
+        )
+        assert models[0].n_ingested == 20
+        assert models[1].n_ingested == 33
+
+    def test_panel_supports_add_data_refit(self):
+        # incremental revision refits on panel-fitted models
+        datasets = _panel(2, seed=3)
+        models = fit_panel(
+            datasets, n_particles=2, smc_data_proportion=0.5,
+            n_mcmc=0, n_hmc=1, seed=8,
+        )
+        m = models[0]
+        new_dates = _dates(2, start=datasets[0].ds[-1] + dt.timedelta(weeks=1))
+        before = m.n_ingested
+        ngp.add_data(m, new_dates, [m.y[-1], m.y[-1]])
+        assert m.n_ingested == before + 2
+        assert np.all(np.isfinite(m.log_weight))
