@@ -17,7 +17,7 @@ Public surface (superset of the reference's exports,
 ``num_particles``, schedules) that the reference reaches through AutoGP.
 """
 
-from .eval.crps import crps_ensemble, crps_matrix
+from .eval.crps import crps_ensemble, crps_matrix, quantile_matrix
 from .fitting import make_and_fit_model
 from .forecasting import forecast
 from .inference.schedule import linear_schedule
@@ -31,6 +31,8 @@ from .models.posterior import MvNormalMixture
 from .nowcast import create_nowcast_data, forecast_with_nowcasts
 from .tdata import TData, create_transformed_data
 from .transforms import get_transformations
+from .utils.profiling import device_trace, phase_report, reset_phases
+from .utils.serialize import load_model, save_model
 
 __version__ = "0.1.0"
 
@@ -43,6 +45,8 @@ __all__ = [
     "fit_smc", "add_data", "predict_mvn", "maybe_resample",
     "mcmc_structure", "mcmc_parameters", "num_particles", "linear_schedule",
     "HMCConfig", "MvNormalMixture", "DEFAULT_DEPTH",
-    # evaluation
-    "crps_ensemble", "crps_matrix",
+    # evaluation & observability & checkpointing
+    "crps_ensemble", "crps_matrix", "quantile_matrix",
+    "phase_report", "reset_phases", "device_trace",
+    "save_model", "load_model",
 ]

@@ -24,6 +24,7 @@ import logging
 import time
 
 from ..models.config import HMCConfig
+from ..utils.profiling import phase
 
 __all__ = ["fit_smc"]
 
@@ -63,18 +64,21 @@ def fit_smc(
     schedule = [s for s in schedule if s > model.n_ingested]
     t_start = time.time()
     for step_i, n_k in enumerate(schedule):
-        model.reweight_to(int(n_k))
-        e = ess(model.log_weight)
+        with phase("smc/reweight"):
+            model.reweight_to(int(n_k))
+            e = ess(model.log_weight)
         low_ess = e < ess_fraction * P
         do_rejuvenate = low_ess if adaptive_rejuvenation else True
         if low_ess:
-            model.resample(method)
+            with phase("smc/resample"):
+                model.resample(method)
         acc = None
         if do_rejuvenate:
-            if n_mcmc > 0:
-                acc = model.rejuvenate(n_mcmc, n_hmc, hmc_cfg)
-            elif n_hmc > 0:
-                acc = model.hmc_only(n_hmc, hmc_cfg)
+            with phase("smc/rejuvenate"):
+                if n_mcmc > 0:
+                    acc = model.rejuvenate(n_mcmc, n_hmc, hmc_cfg)
+                elif n_hmc > 0:
+                    acc = model.hmc_only(n_hmc, hmc_cfg)
         if verbose:
             logger.info(
                 "SMC step %d/%d: n=%d ESS=%.1f/%d resampled=%s "

@@ -1,0 +1,83 @@
+"""Auxiliary subsystems: phase timers, disk checkpointing, diagnostics.
+
+Covers SURVEY.md §5's TPU-build notes: per-phase timers around the SMC loop
+and durable checkpoint/resume of full ensemble state.
+"""
+
+import datetime as dt
+
+import numpy as np
+import pytest
+
+import nowcastautogp_tpu as ngp
+
+
+def _dates(n, start=dt.date(2023, 1, 2)):
+    return [start + dt.timedelta(weeks=i) for i in range(n)]
+
+
+@pytest.fixture(scope="module")
+def fitted():
+    rng = np.random.default_rng(50)
+    n = 30
+    dates = _dates(n)
+    obs = 60 * np.exp(0.01 * np.arange(n) + 0.1 * rng.standard_normal(n))
+    data = ngp.create_transformed_data(dates, obs, transformation=np.log)
+    ngp.reset_phases()
+    model = ngp.make_and_fit_model(
+        data, n_particles=2, smc_data_proportion=0.34, n_mcmc=1, n_hmc=1, seed=2
+    )
+    return model, dates
+
+
+class TestPhaseTimers:
+    def test_fit_records_phases(self, fitted):
+        report = ngp.phase_report()
+        assert "smc/reweight" in report
+        assert "smc/rejuvenate" in report
+        assert report["smc/reweight"]["seconds"] > 0
+        assert report["smc/reweight"]["calls"] >= 3
+
+    def test_reset(self, fitted):
+        ngp.reset_phases()
+        assert ngp.phase_report() == {}
+
+
+class TestDiskCheckpoint:
+    def test_save_load_round_trip(self, fitted, tmp_path):
+        model, dates = fitted
+        path = str(tmp_path / "model.npz")
+        ngp.save_model(model, path)
+        m2 = ngp.load_model(path)
+        assert m2.num_particles == model.num_particles
+        assert m2.n_ingested == model.n_ingested
+        np.testing.assert_array_equal(m2._host_types, model._host_types)
+        np.testing.assert_allclose(
+            np.asarray(m2._params_d), np.asarray(model._params_d)
+        )
+        # config round-trips by value
+        assert m2.config.node_dist_leaf == model.config.node_dist_leaf
+        assert m2.config.prior == model.config.prior
+        # resumed model predicts identically
+        fdates = _dates(2, start=dates[-1] + dt.timedelta(weeks=1))
+        p1 = ngp.predict_mvn(model, fdates)
+        p2 = ngp.predict_mvn(m2, fdates)
+        np.testing.assert_allclose(p1.means, p2.means, rtol=1e-5, atol=1e-5)
+
+    def test_resumed_model_continues_inference(self, fitted, tmp_path):
+        model, dates = fitted
+        path = str(tmp_path / "model2.npz")
+        ngp.save_model(model, path)
+        m2 = ngp.load_model(path)
+        new_dates = _dates(2, start=dates[-1] + dt.timedelta(weeks=1))
+        ngp.add_data(m2, new_dates, [m2.y[-1], m2.y[-1]])
+        ngp.mcmc_parameters(m2, 1)
+        assert np.all(np.isfinite(np.asarray(m2._lml_d)))
+
+
+class TestStructureDiagnostics:
+    def test_structures_render(self, fitted):
+        model, _ = fitted
+        strs = model.structures()
+        assert len(strs) == model.num_particles
+        assert all(isinstance(s, str) and s for s in strs)
