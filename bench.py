@@ -81,9 +81,10 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/ngp_jax_cache_tpu")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    # warm-up at identical shapes: compile everything once, tiny budgets
-    run(n_particles=200, n_train=150, n_mcmc=1, n_hmc=10,
-        n_scenarios=100, draws_per=20, seed=1)
+    # warm-up at IDENTICAL static shapes (P, cap, schedule length, n_mcmc,
+    # n_hmc) so the measured run is compile-free; the persistent cache makes
+    # this cheap on repeat bench invocations.
+    run(seed=1)
 
     fit_s, fc_s, fc = run(seed=2)
     total = fit_s + fc_s

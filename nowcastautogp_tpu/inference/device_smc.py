@@ -1,0 +1,163 @@
+"""Whole-fit-on-device SMC: one XLA program per fit.
+
+The host-proposal path pays ~30 ms of tunnel latency per involutive move
+(schedule_steps x n_mcmc round-trips per fit).  With device-side subtree
+regeneration (``models/structures_device.py``) the *entire* engine loop —
+data-annealed reweighting, ESS-gated systematic resampling, involutive
+structure moves with MH accepts, and HMC rejuvenation — compiles into a
+single ``lax.scan`` over schedule steps with an inner scan over moves.  One
+device call per fit; the host only builds the schedule masks and reads back
+the final state.
+
+Semantics match ``inference/smc.py`` (the ``AutoGP.fit_smc!`` behavior the
+reference passes through, ``/root/reference/src/make_and_fit_model.jl:91``):
+``adaptive_rejuvenation`` gates resample-then-move on ESS < ess_frac x P; the
+default mode rejuvenates every step and resamples on low ESS.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..models.structures_device import (
+    ConfigArrays, device_prior_arrays, device_propose,
+)
+from ..ops.lml import DEFAULT_JITTER, gp_lml_impl
+from .hmc import _hmc_single
+
+__all__ = ["rejuvenation_sweep", "smc_fit_device"]
+
+
+def _sweep_single(
+    types, params, log_noise, lml, x, y, mask, key, cfg: ConfigArrays, anc,
+    n_mcmc, n_hmc, n_leapfrog, step_size, step_jitter, jitter,
+    noise_mu, noise_sigma, infer_noise,
+):
+    """n_mcmc involutive moves (each + n_hmc HMC trajectories), one particle."""
+
+    def move(carry, key_m):
+        types, params, log_noise, lml = carry
+        k_prop, k_acc, k_hmc = jax.random.split(key_m, 3)
+        t2, p2, log_h = device_propose(types, params, k_prop, cfg, anc)
+        lml2 = gp_lml_impl(t2, p2, log_noise, x, y, mask, jitter)
+        accept = jnp.log(jax.random.uniform(k_acc)) < (lml2 - lml + log_h)
+        types = jnp.where(accept, t2, types)
+        params = jnp.where(accept, p2, params)
+        lml = jnp.where(accept, lml2, lml)
+        if n_hmc > 0:
+            mu, sg, act = device_prior_arrays(types, cfg)
+            params, log_noise, lml, _ = _hmc_single(
+                types, params, log_noise, mu, sg, act, x, y, mask, k_hmc,
+                n_hmc, n_leapfrog, step_size, step_jitter,
+                jitter, noise_mu, noise_sigma, infer_noise,
+            )
+        return (types, params, log_noise, lml), accept
+
+    keys = jax.random.split(key, n_mcmc)
+    (types, params, log_noise, lml), accepts = jax.lax.scan(
+        move, (types, params, log_noise, lml), keys
+    )
+    return types, params, log_noise, lml, jnp.mean(accepts.astype(jnp.float32))
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_mcmc", "n_hmc", "n_leapfrog"),
+)
+def rejuvenation_sweep(
+    types, params, log_noise, lml, x, y, mask, key, cfg, anc, *,
+    n_mcmc, n_hmc, n_leapfrog, step_size, step_jitter,
+    jitter=DEFAULT_JITTER, noise_mu=-2.0, noise_sigma=1.0, infer_noise=1.0,
+):
+    """Batched device rejuvenation: all arrays carry the particle axis,
+    including per-row data buffers x/y/mask."""
+    P = params.shape[0]
+    keys = jax.random.split(key, P)
+    return jax.vmap(
+        _sweep_single, in_axes=(0,) * 7 + (0, None, None) + (None,) * 9
+    )(
+        types, params, log_noise, lml, x, y, mask, keys, cfg, anc,
+        n_mcmc, n_hmc, n_leapfrog, step_size, step_jitter, jitter,
+        noise_mu, noise_sigma, infer_noise,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_mcmc", "n_hmc", "n_leapfrog", "adaptive"),
+)
+def smc_fit_device(
+    types, params, log_noise, log_w, lml, x, y, masks, key, cfg, anc, *,
+    n_mcmc, n_hmc, n_leapfrog, step_size, step_jitter, adaptive,
+    ess_frac=0.5, jitter=DEFAULT_JITTER, noise_mu=-2.0, noise_sigma=1.0,
+    infer_noise=1.0,
+):
+    """The full data-annealed SMC fit as one compiled program.
+
+    types i32[P,N]; params f32[P,N,3]; log_noise/log_w/lml f32[P];
+    x/y f32[P,cap] (per-particle rows — broadcast upstream for one series);
+    masks f32[K,P,cap] — the K schedule steps' ingestion masks.
+
+    Returns (types, params, log_noise, log_w, lml, diagnostics) where
+    diagnostics = (ess_per_step, struct_accept_per_step, resampled_per_step).
+    """
+    P = params.shape[0]
+    lml_v = jax.vmap(gp_lml_impl, in_axes=(0, 0, 0, 0, 0, 0, None))
+
+    def step(carry, inp):
+        types, params, log_noise, log_w, lml, key = carry
+        mask_k = inp
+        key, k_res, k_sweep = jax.random.split(key, 3)
+
+        # (1) reweight to this step's conditioning set
+        lml_new = lml_v(types, params, log_noise, x, y, mask_k, jitter)
+        log_w = log_w + (lml_new - lml)
+        lml = lml_new
+
+        # (2) ESS + systematic resampling (device)
+        lw = log_w - jax.scipy.special.logsumexp(log_w)
+        w = jnp.exp(lw)
+        ess = 1.0 / jnp.sum(w * w)
+        low = ess < ess_frac * P
+        u = jax.random.uniform(k_res)
+        positions = (u + jnp.arange(P, dtype=w.dtype)) / P
+        idx_sys = jnp.clip(
+            jnp.searchsorted(jnp.cumsum(w), positions), 0, P - 1
+        )
+        idx = jnp.where(low, idx_sys, jnp.arange(P))
+        types, params, log_noise, lml = (
+            types[idx], params[idx], log_noise[idx], lml[idx]
+        )
+        xs_, ys_ = x[idx], y[idx]
+        log_w = jnp.where(low, jnp.zeros_like(log_w), log_w)
+
+        # (3) rejuvenation (always, or only on low ESS when adaptive)
+        def sweep(args):
+            t_, p_, ln_, l_ = args
+            keys = jax.random.split(k_sweep, P)
+            t_, p_, ln_, l_, acc = jax.vmap(
+                _sweep_single, in_axes=(0,) * 7 + (0, None, None) + (None,) * 9
+            )(
+                t_, p_, ln_, l_, xs_, ys_, mask_k, keys, cfg, anc,
+                n_mcmc, n_hmc, n_leapfrog, step_size, step_jitter, jitter,
+                noise_mu, noise_sigma, infer_noise,
+            )
+            return (t_, p_, ln_, l_), jnp.mean(acc)
+
+        def no_sweep(args):
+            return args, jnp.float32(0.0)
+
+        do = jnp.logical_or(low, not adaptive)
+        (types, params, log_noise, lml), acc = jax.lax.cond(
+            do, sweep, no_sweep, (types, params, log_noise, lml)
+        )
+        return (types, params, log_noise, log_w, lml, key), (ess, acc, low)
+
+    init = (types, params, log_noise, log_w, lml, key)
+    (types, params, log_noise, log_w, lml, _), diag = jax.lax.scan(
+        step, init, masks
+    )
+    return types, params, log_noise, log_w, lml, diag

@@ -39,6 +39,7 @@ def fit_smc(
     verbose: bool = False,
     adaptive_rejuvenation: bool = False,
     ess_fraction: float = 0.5,
+    engine: str = "device",
 ):
     """Fit the particle ensemble by data-annealed SMC (mutates ``model``).
 
@@ -46,7 +47,12 @@ def fit_smc(
     ``TypeError``, mirroring the reference's pass-through contract where
     ``fit_smc!`` errors without them (``test/test_gpconfig.jl:37-43``).
     ``biased=True`` selects multinomial resampling instead of the default
-    systematic scheme.
+    systematic scheme (host engine only — it forces ``engine="host"``).
+
+    ``engine="device"`` (default) compiles the whole annealing loop —
+    reweight, resample, structure moves, HMC — into one XLA program
+    (``inference/device_smc.py``); ``engine="host"`` drives each phase from
+    Python with host-side structure proposals.
     """
     from .resample import ess  # local import to avoid cycles
 
@@ -62,6 +68,11 @@ def fit_smc(
         model._push_data()
 
     schedule = [s for s in schedule if s > model.n_ingested]
+    if engine == "device" and not biased and schedule:
+        return _fit_device(
+            model, schedule, n_mcmc, n_hmc, hmc_cfg,
+            adaptive_rejuvenation, ess_fraction, verbose,
+        )
     t_start = time.time()
     for step_i, n_k in enumerate(schedule):
         with phase("smc/reweight"):
@@ -85,5 +96,55 @@ def fit_smc(
                 "struct-accept=%s elapsed=%.1fs",
                 step_i + 1, len(schedule), n_k, e, P, low_ess,
                 f"{acc:.2f}" if acc is not None else "-", time.time() - t_start,
+            )
+    return model
+
+
+def _fit_device(model, schedule, n_mcmc, n_hmc, hmc_cfg,
+                adaptive_rejuvenation, ess_fraction, verbose):
+    """One-device-call fit via ``smc_fit_device`` (mutates ``model``)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..models.structures_device import ancestor_table, config_arrays
+    from ..utils.profiling import phase
+    from .device_smc import smc_fit_device
+
+    P = model.num_particles
+    cap = model._cap
+    iota = np.arange(cap)
+    masks = np.stack(
+        [(iota < n_k).astype(np.float32) for n_k in schedule]
+    )  # (K, cap)
+    masks_b = np.broadcast_to(masks[:, None, :], (len(schedule), P, cap))
+    noise_mu, noise_sigma, infer = model.noise_prior
+    x, y, _ = model._batched_data()
+
+    t0 = time.time()
+    with phase("smc/device_fit"):
+        types, params, log_noise, log_w, lml, diag = smc_fit_device(
+            jnp.asarray(model._host_types), model._params_d,
+            model._log_noise_d,
+            jnp.asarray(model.log_weight.astype(np.float32)),
+            model._lml_d, x, y, jnp.asarray(masks_b), model.next_key(),
+            config_arrays(model.config),
+            jnp.asarray(ancestor_table(model.config.max_nodes)),
+            n_mcmc=n_mcmc, n_hmc=n_hmc, n_leapfrog=hmc_cfg.n_leapfrog,
+            step_size=hmc_cfg.step_size, step_jitter=hmc_cfg.step_size_jitter,
+            adaptive=bool(adaptive_rejuvenation), ess_frac=float(ess_fraction),
+            noise_mu=noise_mu, noise_sigma=noise_sigma, infer_noise=infer,
+        )
+        model._host_types = np.asarray(types)
+        model._params_d, model._log_noise_d, model._lml_d = params, log_noise, lml
+        model.log_weight = np.asarray(log_w, dtype=np.float64)
+        model.n_ingested = int(schedule[-1])
+    if verbose:
+        ess_steps, acc_steps, resampled = (np.asarray(d) for d in diag)
+        for i, n_k in enumerate(schedule):
+            logger.info(
+                "SMC step %d/%d: n=%d ESS=%.1f/%d resampled=%s "
+                "struct-accept=%.2f elapsed(total)=%.1fs",
+                i + 1, len(schedule), n_k, ess_steps[i], P,
+                bool(resampled[i]), acc_steps[i], time.time() - t0,
             )
     return model

@@ -183,11 +183,35 @@ class GPModel:
         self.log_weight = np.zeros_like(self.log_weight)
         return idx
 
-    def rejuvenate(self, n_mcmc: int, n_hmc: int, hmc_config: HMCConfig | None = None):
-        """n_mcmc structure moves, each followed by n_hmc HMC trajectories."""
+    def rejuvenate(self, n_mcmc: int, n_hmc: int,
+                   hmc_config: HMCConfig | None = None,
+                   engine: str = "device"):
+        """n_mcmc structure moves, each followed by n_hmc HMC trajectories.
+
+        ``engine="device"`` runs the whole sweep as one compiled program with
+        on-device subtree proposals; ``"host"`` uses the numpy proposal path
+        (one device call per move).
+        """
         hmc_cfg = hmc_config or HMCConfig()
         noise_mu, noise_sigma, infer = self.noise_prior
         x, y, m = self._batched_data()
+        if engine == "device":
+            from ..inference.device_smc import rejuvenation_sweep
+            from .structures_device import ancestor_table, config_arrays
+
+            types, params, log_noise, lml, acc = rejuvenation_sweep(
+                jnp.asarray(self._host_types), self._params_d,
+                self._log_noise_d, self._lml_d, x, y, m, self.next_key(),
+                config_arrays(self.config),
+                jnp.asarray(ancestor_table(self.config.max_nodes)),
+                n_mcmc=int(n_mcmc), n_hmc=int(n_hmc),
+                n_leapfrog=hmc_cfg.n_leapfrog, step_size=hmc_cfg.step_size,
+                step_jitter=hmc_cfg.step_size_jitter, jitter=DEFAULT_JITTER,
+                noise_mu=noise_mu, noise_sigma=noise_sigma, infer_noise=infer,
+            )
+            self._host_types = np.asarray(types)
+            self._params_d, self._log_noise_d, self._lml_d = params, log_noise, lml
+            return float(np.asarray(acc).mean())
         (self._host_types, self._params_d, self._log_noise_d, self._lml_d,
          self._key, acc) = mcmc_structure_sweep(
             self.rng, self._key, self._host_types, self._params_d,

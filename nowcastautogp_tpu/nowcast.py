@@ -256,16 +256,23 @@ def _forecast_with_nowcasts_batched(
             host_types = host_types[flat_idx]
             types_d = jnp.asarray(host_types)
 
-    # --- rejuvenation on the flattened batch
+    # --- rejuvenation on the flattened batch (device-side proposals)
     key = base_model.next_key()
     if n_mcmc > 0 and n_hmc > 0:
-        rng2 = np.random.default_rng(base_model.rng.integers(2**63))
-        host_types, params, log_noise, lml, key, _ = mcmc_structure_sweep(
-            rng2, key, host_types, params, log_noise, lml, x_b, y_b, m_new_b,
-            base_model.config, n_mcmc, n_hmc, hmc_cfg, DEFAULT_JITTER,
-            noise_mu, noise_sigma, infer,
+        from .inference.device_smc import rejuvenation_sweep
+        from .models.structures_device import ancestor_table, config_arrays
+
+        key, sub = jax.random.split(key)
+        types_d, params, log_noise, lml, _ = rejuvenation_sweep(
+            types_d, params, log_noise, lml, x_b, y_b, m_new_b, sub,
+            config_arrays(base_model.config),
+            jnp.asarray(ancestor_table(base_model.config.max_nodes)),
+            n_mcmc=int(n_mcmc), n_hmc=int(n_hmc),
+            n_leapfrog=hmc_cfg.n_leapfrog, step_size=hmc_cfg.step_size,
+            step_jitter=hmc_cfg.step_size_jitter, jitter=DEFAULT_JITTER,
+            noise_mu=noise_mu, noise_sigma=noise_sigma, infer_noise=infer,
         )
-        types_d = jnp.asarray(host_types)
+        host_types = np.asarray(types_d)
     elif n_mcmc == 0 and n_hmc > 0:
         mu, sg, act = (jnp.asarray(a) for a in
                        prior_arrays(host_types, base_model.config))

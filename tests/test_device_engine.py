@@ -1,0 +1,144 @@
+"""Device-side structure proposals + whole-fit-on-device engine.
+
+Validates that the on-device subtree-regeneration proposals
+(``models/structures_device.py``) produce exactly the same class of trees as
+the host path (valid heap structure, PCFG-respecting leaf sets), and that the
+single-program SMC fit (``inference/device_smc.py``) matches the host
+engine's observable behavior.
+"""
+
+import datetime as dt
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import nowcastautogp_tpu as ngp
+from nowcastautogp_tpu.models.config import GPConfig
+from nowcastautogp_tpu.models.structures import (
+    CONST, CP, EMPTY, GE, PLUS, SE, TIMES, prior_arrays, sample_particle,
+)
+from nowcastautogp_tpu.models.structures_device import (
+    ancestor_table, config_arrays, device_prior_arrays, device_propose,
+)
+
+
+def _valid_tree(t: np.ndarray) -> bool:
+    n = t.shape[0]
+    if t[0] == EMPTY:
+        return False
+    for i in range(n):
+        li, ri = 2 * i + 1, 2 * i + 2
+        if t[i] in (PLUS, TIMES, CP):
+            if li >= n or t[li] == EMPTY or t[ri] == EMPTY:
+                return False
+        elif t[i] != EMPTY and li < n:
+            if t[li] != EMPTY or t[ri] != EMPTY:
+                return False
+        elif t[i] == EMPTY and li < n:
+            if t[li] != EMPTY or t[ri] != EMPTY:
+                return False
+    return True
+
+
+class TestAncestorTable:
+    def test_chains(self):
+        anc = ancestor_table(15)
+        assert anc.shape == (15, 4)
+        np.testing.assert_array_equal(anc[0], [0, -1, -1, -1])
+        np.testing.assert_array_equal(anc[14], [14, 6, 2, 0])
+        np.testing.assert_array_equal(anc[9], [9, 4, 1, 0])
+
+
+class TestDeviceProposals:
+    def test_proposals_are_valid_trees(self):
+        cfg = GPConfig()
+        ca = config_arrays(cfg)
+        anc = jnp.asarray(ancestor_table(cfg.max_nodes))
+        rng = np.random.default_rng(0)
+        t, p, _ = sample_particle(rng, cfg)
+        types = jnp.asarray(t)
+        params = jnp.asarray(p)
+        prop = jax.jit(device_propose)
+        key = jax.random.PRNGKey(0)
+        for i in range(40):
+            key, sub = jax.random.split(key)
+            t2, p2, lh = prop(types, params, sub, ca, anc)
+            t2_np = np.asarray(t2)
+            assert _valid_tree(t2_np), t2_np
+            assert np.isfinite(float(lh))
+            # default prior: Constant and SE leaves have zero mass
+            assert not np.any(t2_np == CONST)
+            assert not np.any(t2_np == SE)
+            types, params = t2, p2
+
+    def test_no_changepoints_when_disabled(self):
+        cfg = GPConfig(changepoints=False)
+        ca = config_arrays(cfg)
+        anc = jnp.asarray(ancestor_table(cfg.max_nodes))
+        rng = np.random.default_rng(1)
+        t, p, _ = sample_particle(rng, cfg)
+        types, params = jnp.asarray(t), jnp.asarray(p)
+        key = jax.random.PRNGKey(1)
+        prop = jax.jit(device_propose)
+        for _ in range(30):
+            key, sub = jax.random.split(key)
+            types, params, _ = prop(types, params, sub, ca, anc)
+            assert not np.any(np.asarray(types) == CP)
+            assert _valid_tree(np.asarray(types))
+
+    def test_device_prior_arrays_match_host(self):
+        cfg = GPConfig()
+        ca = config_arrays(cfg)
+        rng = np.random.default_rng(3)
+        for _ in range(10):
+            t, _, _ = sample_particle(rng, cfg)
+            mu_h, sg_h, act_h = prior_arrays(t[None], cfg)
+            mu_d, sg_d, act_d = jax.jit(device_prior_arrays)(jnp.asarray(t), ca)
+            np.testing.assert_allclose(np.asarray(act_d), act_h[0])
+            # where active, priors must agree
+            sel = act_h[0] > 0
+            np.testing.assert_allclose(np.asarray(mu_d)[sel], mu_h[0][sel])
+            np.testing.assert_allclose(np.asarray(sg_d)[sel], sg_h[0][sel])
+
+
+class TestDeviceFitParity:
+    def _data(self, n=30, seed=8):
+        rng = np.random.default_rng(seed)
+        dates = [dt.date(2023, 1, 2) + dt.timedelta(weeks=i) for i in range(n)]
+        obs = 50 * np.exp(0.02 * np.arange(n) + 0.1 * rng.standard_normal(n))
+        return ngp.create_transformed_data(dates, obs, transformation=np.log), dates, obs
+
+    def test_device_and_host_engines_agree_statistically(self):
+        data, dates, obs = self._data()
+        kw = dict(n_particles=2, smc_data_proportion=0.34, n_mcmc=2, n_hmc=2)
+        m_dev = ngp.make_and_fit_model(data, seed=1, engine="device", **kw)
+        m_host = ngp.make_and_fit_model(data, seed=1, engine="host", **kw)
+        fdates = [dates[-1] + dt.timedelta(weeks=i + 1) for i in range(2)]
+        mu_d = ngp.predict_mvn(m_dev, fdates).mean()
+        mu_h = ngp.predict_mvn(m_host, fdates).mean()
+        # same data, same budgets: predictions in the same ballpark
+        np.testing.assert_allclose(mu_d, mu_h, atol=1.0)
+        for m in (m_dev, m_host):
+            assert m.n_ingested == 30
+            assert np.all(np.isfinite(m.log_weight))
+            for t in m._host_types:
+                assert _valid_tree(t)
+
+    def test_adaptive_rejuvenation_device(self):
+        data, dates, obs = self._data(seed=9)
+        m = ngp.make_and_fit_model(
+            data, n_particles=2, smc_data_proportion=0.34, n_mcmc=1, n_hmc=1,
+            adaptive_rejuvenation=True, seed=3,
+        )
+        assert m.n_ingested == 30
+
+    def test_biased_falls_back_to_host(self):
+        data, dates, obs = self._data(seed=10)
+        m = ngp.make_and_fit_model(
+            data, n_particles=2, smc_data_proportion=0.5, n_mcmc=1, n_hmc=1,
+            biased=True, seed=4,
+        )
+        assert m.n_ingested == 30
