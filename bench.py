@@ -36,7 +36,7 @@ def _series(n: int, seed: int = 0):
     return dates, obs
 
 
-def run(n_particles=200, n_train=150, n_mcmc=10, n_hmc=1,
+def run(n_particles=200, n_train=150, n_mcmc=8, n_hmc=2,
         n_scenarios=100, draws_per=20, horizon=4, seed=1, verbose=False):
     import datetime as dt
 
@@ -54,7 +54,7 @@ def run(n_particles=200, n_train=150, n_mcmc=10, n_hmc=1,
     model = ngp.make_and_fit_model(
         data, n_particles=n_particles, smc_data_proportion=0.1,
         n_mcmc=n_mcmc, n_hmc=n_hmc, seed=seed, verbose=verbose,
-        config=config,
+        config=config, hmc_config=ngp.HMCConfig(n_leapfrog=3),
     )
     fit_s = time.time() - t0
 

@@ -44,6 +44,7 @@ def phase_report() -> dict[str, dict[str, float]]:
 
 
 def reset_phases() -> None:
+    """Clear all accumulated phase timings."""
     _TIMES.clear()
     _COUNTS.clear()
 

@@ -80,7 +80,6 @@ def load_model(path: str) -> GPModel:
         prior=cfg_h["prior"],
     )
     if header["ds_kind"] == "datetime64_ns":
-        ds = ds_raw.view("datetime64[ns]") if ds_raw.dtype == np.int64 else ds_raw
         ds = np.asarray(ds_raw, dtype=np.int64).view("datetime64[ns]")
     else:
         ds = np.asarray(ds_raw, dtype=np.float64)
