@@ -1,0 +1,96 @@
+"""Statistical validation of the engine: structure recovery + calibration.
+
+The reference's acceptance story is statistical (CRPS ratios computed in the
+vignettes; SURVEY.md §6) and a Julia runtime is unavailable here, so these
+tests validate the engine's *statistical* behavior directly: SMC discovers
+the generating kernel family on synthetic GP draws, and predictive intervals
+achieve sane empirical coverage on held-out points.
+"""
+
+import datetime as dt
+
+import numpy as np
+import pytest
+
+import nowcastautogp_tpu as ngp
+from nowcastautogp_tpu.models.structures import LINEAR, PERIODIC
+
+
+def _dates(n, start=dt.date(2022, 1, 3)):
+    return [start + dt.timedelta(weeks=i) for i in range(n)]
+
+
+@pytest.fixture(scope="module")
+def periodic_fit():
+    # strongly periodic signal + linear trend
+    rng = np.random.default_rng(99)
+    n = 64
+    t = np.arange(n)
+    y = 1.5 * np.sin(2 * np.pi * t / 16.0) + 0.03 * t + 0.15 * rng.standard_normal(n)
+    dates = _dates(n)
+    data = ngp.create_transformed_data(dates, np.exp(y), transformation=np.log)
+    model = ngp.make_and_fit_model(
+        data, n_particles=8, smc_data_proportion=0.2, n_mcmc=6, n_hmc=2, seed=3
+    )
+    return model, dates, y, t
+
+
+class TestStructureRecovery:
+    def test_periodic_component_discovered(self, periodic_fit):
+        model, dates, y, t = periodic_fit
+        # weight-weighted fraction of particles containing a Periodic node
+        w = np.exp(model.log_weight - model.log_weight.max())
+        w /= w.sum()
+        has_periodic = np.array(
+            [np.any(types == PERIODIC) for types in model._host_types],
+            dtype=float,
+        )
+        assert (w * has_periodic).sum() > 0.5, model.structures()
+
+    def test_forecast_tracks_oscillation(self, periodic_fit):
+        model, dates, y, t = periodic_fit
+        # forecast 8 steps; correlation with the continued clean signal
+        f_dates = _dates(8, start=dates[-1] + dt.timedelta(weeks=1))
+        fc = ngp.forecast(model, f_dates, 400, inv_transformation=lambda v: v)
+        pred = np.median(fc, axis=1)
+        tt = np.arange(len(t), len(t) + 8)
+        truth = 1.5 * np.sin(2 * np.pi * tt / 16.0) + 0.03 * tt
+        corr = np.corrcoef(pred, truth)[0, 1]
+        assert corr > 0.5, (pred, truth)
+
+
+class TestCalibration:
+    def test_interval_coverage_on_heldout(self):
+        rng = np.random.default_rng(123)
+        n, n_hold = 48, 10
+        t = np.arange(n + n_hold)
+        y = 0.8 * np.sin(2 * np.pi * t / 12.0) + 0.02 * t + 0.2 * rng.standard_normal(
+            n + n_hold
+        )
+        dates = _dates(n + n_hold)
+        data = ngp.create_transformed_data(dates[:n], y[:n])
+        model = ngp.make_and_fit_model(
+            data, n_particles=4, smc_data_proportion=0.25, n_mcmc=4, n_hmc=2,
+            seed=11,
+        )
+        fc = ngp.forecast(model, dates[n:], 500)
+        lo, hi = np.quantile(fc, [0.05, 0.95], axis=1)
+        covered = np.mean((y[n:] >= lo) & (y[n:] <= hi))
+        # 90% interval: loose structural band (small sample, stochastic fit)
+        assert covered >= 0.5, (covered, lo, hi, y[n:])
+
+    def test_interpolation_tight_at_observed_points(self):
+        rng = np.random.default_rng(7)
+        n = 40
+        t = np.arange(n)
+        y = np.sin(2 * np.pi * t / 10.0) + 0.05 * rng.standard_normal(n)
+        dates = _dates(n)
+        data = ngp.create_transformed_data(dates, y)
+        model = ngp.make_and_fit_model(
+            data, n_particles=4, smc_data_proportion=0.25, n_mcmc=4, n_hmc=2,
+            seed=13,
+        )
+        # predictive at training points should track the data closely
+        dist = ngp.predict_mvn(model, dates)
+        resid = np.abs(dist.mean() - y)
+        assert np.median(resid) < 0.3, np.median(resid)
