@@ -32,14 +32,15 @@ __all__ = ["rejuvenation_sweep", "smc_fit_device"]
 
 
 def _sweep_single(
-    types, params, log_noise, lml, x, y, mask, key, cfg: ConfigArrays, anc,
+    types, params, log_noise, lml, x, y, mask, key, eps_scale,
+    cfg: ConfigArrays, anc,
     n_mcmc, n_hmc, n_leapfrog, step_size, step_jitter, jitter,
     noise_mu, noise_sigma, infer_noise,
 ):
     """n_mcmc involutive moves (each + n_hmc HMC trajectories), one particle."""
 
     def move(carry, key_m):
-        types, params, log_noise, lml = carry
+        types, params, log_noise, lml, scale = carry
         k_prop, k_acc, k_hmc = jax.random.split(key_m, 3)
         t2, p2, log_h = device_propose(types, params, k_prop, cfg, anc)
         lml2 = gp_lml_impl(t2, p2, log_noise, x, y, mask, jitter)
@@ -49,18 +50,19 @@ def _sweep_single(
         lml = jnp.where(accept, lml2, lml)
         if n_hmc > 0:
             mu, sg, act = device_prior_arrays(types, cfg)
-            params, log_noise, lml, _ = _hmc_single(
+            params, log_noise, lml, _, scale = _hmc_single(
                 types, params, log_noise, mu, sg, act, x, y, mask, k_hmc,
-                n_hmc, n_leapfrog, step_size, step_jitter,
+                scale, n_hmc, n_leapfrog, step_size, step_jitter,
                 jitter, noise_mu, noise_sigma, infer_noise,
             )
-        return (types, params, log_noise, lml), accept
+        return (types, params, log_noise, lml, scale), accept
 
     keys = jax.random.split(key, n_mcmc)
-    (types, params, log_noise, lml), accepts = jax.lax.scan(
-        move, (types, params, log_noise, lml), keys
+    (types, params, log_noise, lml, eps_scale), accepts = jax.lax.scan(
+        move, (types, params, log_noise, lml, eps_scale), keys
     )
-    return types, params, log_noise, lml, jnp.mean(accepts.astype(jnp.float32))
+    return (types, params, log_noise, lml,
+            jnp.mean(accepts.astype(jnp.float32)), eps_scale)
 
 
 @partial(
@@ -71,15 +73,20 @@ def rejuvenation_sweep(
     types, params, log_noise, lml, x, y, mask, key, cfg, anc, *,
     n_mcmc, n_hmc, n_leapfrog, step_size, step_jitter,
     jitter=DEFAULT_JITTER, noise_mu=-2.0, noise_sigma=1.0, infer_noise=1.0,
+    eps_scale=None,
 ):
     """Batched device rejuvenation: all arrays carry the particle axis,
-    including per-row data buffers x/y/mask."""
+    including per-row data buffers x/y/mask.
+
+    Returns (types, params, log_noise, lml, accept_rate, eps_scale)."""
     P = params.shape[0]
     keys = jax.random.split(key, P)
+    if eps_scale is None:
+        eps_scale = jnp.ones(P, params.dtype)
     return jax.vmap(
-        _sweep_single, in_axes=(0,) * 7 + (0, None, None) + (None,) * 9
+        _sweep_single, in_axes=(0,) * 7 + (0, 0, None, None) + (None,) * 9
     )(
-        types, params, log_noise, lml, x, y, mask, keys, cfg, anc,
+        types, params, log_noise, lml, x, y, mask, keys, eps_scale, cfg, anc,
         n_mcmc, n_hmc, n_leapfrog, step_size, step_jitter, jitter,
         noise_mu, noise_sigma, infer_noise,
     )
@@ -90,7 +97,8 @@ def rejuvenation_sweep(
     static_argnames=("n_mcmc", "n_hmc", "n_leapfrog", "adaptive"),
 )
 def smc_fit_device(
-    types, params, log_noise, log_w, lml, x, y, masks, key, cfg, anc, *,
+    types, params, log_noise, log_w, lml, eps_scale, x, y, masks, key, cfg,
+    anc, *,
     n_mcmc, n_hmc, n_leapfrog, step_size, step_jitter, adaptive,
     ess_frac=0.5, jitter=DEFAULT_JITTER, noise_mu=-2.0, noise_sigma=1.0,
     infer_noise=1.0,
@@ -101,14 +109,15 @@ def smc_fit_device(
     x/y f32[P,cap] (per-particle rows — broadcast upstream for one series);
     masks f32[K,P,cap] — the K schedule steps' ingestion masks.
 
-    Returns (types, params, log_noise, log_w, lml, diagnostics) where
-    diagnostics = (ess_per_step, struct_accept_per_step, resampled_per_step).
+    Returns (types, params, log_noise, log_w, lml, eps_scale, diagnostics)
+    where diagnostics = (ess_per_step, struct_accept_per_step,
+    resampled_per_step).
     """
     P = params.shape[0]
     lml_v = jax.vmap(gp_lml_impl, in_axes=(0, 0, 0, 0, 0, 0, None))
 
     def step(carry, inp):
-        types, params, log_noise, log_w, lml, key = carry
+        types, params, log_noise, log_w, lml, eps_scale, key = carry
         mask_k = inp
         key, k_res, k_sweep = jax.random.split(key, 3)
 
@@ -128,36 +137,38 @@ def smc_fit_device(
             jnp.searchsorted(jnp.cumsum(w), positions), 0, P - 1
         )
         idx = jnp.where(low, idx_sys, jnp.arange(P))
-        types, params, log_noise, lml = (
-            types[idx], params[idx], log_noise[idx], lml[idx]
+        types, params, log_noise, lml, eps_scale = (
+            types[idx], params[idx], log_noise[idx], lml[idx], eps_scale[idx]
         )
         xs_, ys_ = x[idx], y[idx]
         log_w = jnp.where(low, jnp.zeros_like(log_w), log_w)
 
         # (3) rejuvenation (always, or only on low ESS when adaptive)
         def sweep(args):
-            t_, p_, ln_, l_ = args
+            t_, p_, ln_, l_, sc_ = args
             keys = jax.random.split(k_sweep, P)
-            t_, p_, ln_, l_, acc = jax.vmap(
-                _sweep_single, in_axes=(0,) * 7 + (0, None, None) + (None,) * 9
+            t_, p_, ln_, l_, acc, sc_ = jax.vmap(
+                _sweep_single,
+                in_axes=(0,) * 7 + (0, 0, None, None) + (None,) * 9,
             )(
-                t_, p_, ln_, l_, xs_, ys_, mask_k, keys, cfg, anc,
+                t_, p_, ln_, l_, xs_, ys_, mask_k, keys, sc_, cfg, anc,
                 n_mcmc, n_hmc, n_leapfrog, step_size, step_jitter, jitter,
                 noise_mu, noise_sigma, infer_noise,
             )
-            return (t_, p_, ln_, l_), jnp.mean(acc)
+            return (t_, p_, ln_, l_, sc_), jnp.mean(acc)
 
         def no_sweep(args):
             return args, jnp.float32(0.0)
 
         do = jnp.logical_or(low, not adaptive)
-        (types, params, log_noise, lml), acc = jax.lax.cond(
-            do, sweep, no_sweep, (types, params, log_noise, lml)
+        (types, params, log_noise, lml, eps_scale), acc = jax.lax.cond(
+            do, sweep, no_sweep, (types, params, log_noise, lml, eps_scale)
         )
-        return (types, params, log_noise, log_w, lml, key), (ess, acc, low)
+        return (types, params, log_noise, log_w, lml, eps_scale, key), (
+            ess, acc, low)
 
-    init = (types, params, log_noise, log_w, lml, key)
-    (types, params, log_noise, log_w, lml, _), diag = jax.lax.scan(
+    init = (types, params, log_noise, log_w, lml, eps_scale, key)
+    (types, params, log_noise, log_w, lml, eps_scale, _), diag = jax.lax.scan(
         step, init, masks
     )
-    return types, params, log_noise, log_w, lml, diag
+    return types, params, log_noise, log_w, lml, eps_scale, diag

@@ -42,12 +42,22 @@ def log_posterior(
     return lml + lp, lml
 
 
+# Robbins-Monro adaptation of the per-particle step-size scale: nudge the
+# scale after every trajectory toward this target acceptance rate.  The scale
+# persists in the model state, so adaptation accumulates across the thousands
+# of trajectories of a fit (the engine-level analog of AutoGP's adaptive HMC).
+_TARGET_ACCEPT = 0.65
+_ADAPT_RATE = 0.05
+_SCALE_BOUNDS = (0.02, 50.0)
+
+
 def _hmc_single(
     node_types, params, log_noise, prior_mu, prior_sigma, prior_active,
-    x, y, mask, key, n_steps, n_leapfrog, step_size, step_jitter,
+    x, y, mask, key, eps_scale, n_steps, n_leapfrog, step_size, step_jitter,
     jitter, noise_mu, noise_sigma, infer_noise,
 ):
-    """n_steps HMC trajectories for one particle; returns updated state."""
+    """n_steps HMC trajectories for one particle; returns updated state
+    (params, log_noise, lml, accept_rate, adapted eps_scale)."""
 
     def potential(p, ln):
         lp, lml = log_posterior(
@@ -59,9 +69,9 @@ def _hmc_single(
     pot_and_grad = jax.value_and_grad(potential, argnums=(0, 1), has_aux=True)
 
     def trajectory(carry, key_t):
-        p, ln, U, lml = carry
+        p, ln, U, lml, scale = carry
         k_eps, k_mom_p, k_mom_n, k_acc = jax.random.split(key_t, 4)
-        eps = step_size * (
+        eps = step_size * scale * (
             1.0 + step_jitter * (2.0 * jax.random.uniform(k_eps) - 1.0)
         )
         mom_p = jax.random.normal(k_mom_p, p.shape, p.dtype) * prior_active
@@ -94,14 +104,20 @@ def _hmc_single(
         ln = jnp.where(ok, ln1, ln)
         U = jnp.where(ok, U1, U0)
         lml = jnp.where(ok, lml1, lml)
-        return (p, ln, U, lml), ok
+        scale = jnp.clip(
+            scale * jnp.exp(
+                _ADAPT_RATE * (ok.astype(scale.dtype) - _TARGET_ACCEPT)
+            ),
+            _SCALE_BOUNDS[0], _SCALE_BOUNDS[1],
+        )
+        return (p, ln, U, lml, scale), ok
 
     (U_init, lml_init), _ = pot_and_grad(params, log_noise)
     keys = jax.random.split(key, n_steps)
-    (p_f, ln_f, _, lml_f), oks = jax.lax.scan(
-        trajectory, (params, log_noise, U_init, lml_init), keys
+    (p_f, ln_f, _, lml_f, scale_f), oks = jax.lax.scan(
+        trajectory, (params, log_noise, U_init, lml_init, eps_scale), keys
     )
-    return p_f, ln_f, lml_f, jnp.mean(oks.astype(jnp.float32))
+    return p_f, ln_f, lml_f, jnp.mean(oks.astype(jnp.float32)), scale_f
 
 
 @partial(
@@ -112,20 +128,24 @@ def run_hmc(
     node_types, params, log_noise, prior_mu, prior_sigma, prior_active,
     x, y, mask, key, *, n_steps, n_leapfrog, step_size, step_jitter,
     jitter=DEFAULT_JITTER, noise_mu=-2.0, noise_sigma=1.0, infer_noise=1.0,
+    eps_scale=None,
 ):
     """Batched HMC: every argument (except scalars) has a leading particle axis.
 
-    Returns (params, log_noise, lml, accept_rate) — lml is the cached masked
-    log-marginal-likelihood of the final state, used by SMC reweighting.
+    Returns (params, log_noise, lml, accept_rate, eps_scale) — lml is the
+    cached masked log-marginal-likelihood of the final state (used by SMC
+    reweighting) and eps_scale the adapted per-particle step-size scales.
     """
     P = params.shape[0]
     keys = jax.random.split(key, P)
+    if eps_scale is None:
+        eps_scale = jnp.ones(P, params.dtype)
     return jax.vmap(
         _hmc_single,
-        in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+        in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
         + (None,) * 8,
     )(
         node_types, params, log_noise, prior_mu, prior_sigma, prior_active,
-        x, y, mask, keys, n_steps, n_leapfrog, step_size, step_jitter,
-        jitter, noise_mu, noise_sigma, infer_noise,
+        x, y, mask, keys, eps_scale, n_steps, n_leapfrog, step_size,
+        step_jitter, jitter, noise_mu, noise_sigma, infer_noise,
     )

@@ -122,12 +122,12 @@ def _fit_device(model, schedule, n_mcmc, n_hmc, hmc_cfg,
 
     t0 = time.time()
     with phase("smc/device_fit"):
-        types, params, log_noise, log_w, lml, diag = smc_fit_device(
+        types, params, log_noise, log_w, lml, eps_scale, diag = smc_fit_device(
             jnp.asarray(model._host_types), model._params_d,
             model._log_noise_d,
             jnp.asarray(model.log_weight.astype(np.float32)),
-            model._lml_d, x, y, jnp.asarray(masks_b), model.next_key(),
-            config_arrays(model.config),
+            model._lml_d, model._eps_scale_d, x, y, jnp.asarray(masks_b),
+            model.next_key(), config_arrays(model.config),
             jnp.asarray(ancestor_table(model.config.max_nodes)),
             n_mcmc=n_mcmc, n_hmc=n_hmc, n_leapfrog=hmc_cfg.n_leapfrog,
             step_size=hmc_cfg.step_size, step_jitter=hmc_cfg.step_size_jitter,
@@ -136,6 +136,7 @@ def _fit_device(model, schedule, n_mcmc, n_hmc, hmc_cfg,
         )
         model._host_types = np.asarray(types)
         model._params_d, model._log_noise_d, model._lml_d = params, log_noise, lml
+        model._eps_scale_d = eps_scale
         model.log_weight = np.asarray(log_w, dtype=np.float64)
         model.n_ingested = int(schedule[-1])
     if verbose:

@@ -53,7 +53,7 @@ def propose_batch(rng: np.random.Generator, node_types: np.ndarray,
 def structure_move_device(
     types_old, types_prop, params_old, params_prop,
     pri_old, pri_prop, log_hastings, log_noise, lml_old,
-    x, y, mask, key, *,
+    x, y, mask, key, eps_scale, *,
     n_hmc, n_leapfrog, step_size, step_jitter,
     jitter=DEFAULT_JITTER, noise_mu=-2.0, noise_sigma=1.0, infer_noise=1.0,
 ):
@@ -63,7 +63,8 @@ def structure_move_device(
     ``x/y/mask`` are per-particle too (broadcast upstream for single-model
     fits, genuinely distinct for flattened scenario batches).
 
-    Returns (accept, types, params, log_noise, lml, hmc_accept_rate).
+    Returns (accept, types, params, log_noise, lml, hmc_accept_rate,
+    eps_scale).
     """
     P = params_old.shape[0]
     k_acc, k_hmc = jax.random.split(key)
@@ -83,23 +84,23 @@ def structure_move_device(
 
     if n_hmc > 0:
         keys = jax.random.split(k_hmc, P)
-        params, log_noise, lml, acc_rate = jax.vmap(
-            _hmc_single, in_axes=(0,) * 10 + (None,) * 8
+        params, log_noise, lml, acc_rate, eps_scale = jax.vmap(
+            _hmc_single, in_axes=(0,) * 11 + (None,) * 8
         )(
             types, params, log_noise, mu, sigma, active, x, y, mask, keys,
-            n_hmc, n_leapfrog, step_size, step_jitter,
+            eps_scale, n_hmc, n_leapfrog, step_size, step_jitter,
             jitter, noise_mu, noise_sigma, infer_noise,
         )
         hmc_rate = jnp.mean(acc_rate)
     else:
         hmc_rate = jnp.float32(0.0)
-    return accept, types, params, log_noise, lml, hmc_rate
+    return accept, types, params, log_noise, lml, hmc_rate, eps_scale
 
 
 def mcmc_structure_sweep(
     rng, key, host_types, params, log_noise, lml, x, y, mask,
     config: GPConfig, n_mcmc: int, n_hmc: int, hmc_cfg, jitter,
-    noise_mu, noise_sigma, infer_noise,
+    noise_mu, noise_sigma, infer_noise, eps_scale=None,
 ):
     """Run ``n_mcmc`` structure moves (each followed by ``n_hmc`` HMC steps).
 
@@ -108,17 +109,20 @@ def mcmc_structure_sweep(
     are returned along with the updated mirror and acceptance statistics.
     """
     pri_old = prior_arrays(host_types, config)
+    if eps_scale is None:
+        eps_scale = jnp.ones(host_types.shape[0], jnp.float32)
     accepts = []
     for _ in range(n_mcmc):
         types_prop, params_prop, log_h, pri_prop = propose_batch(
             rng, host_types, np.asarray(params), config
         )
         key, sub = jax.random.split(key)
-        accept, types_d, params, log_noise, lml, _ = structure_move_device(
+        (accept, types_d, params, log_noise, lml, _,
+         eps_scale) = structure_move_device(
             jnp.asarray(host_types), jnp.asarray(types_prop),
             jnp.asarray(params), jnp.asarray(params_prop),
             tuple(map(jnp.asarray, pri_old)), tuple(map(jnp.asarray, pri_prop)),
-            jnp.asarray(log_h), log_noise, lml, x, y, mask, sub,
+            jnp.asarray(log_h), log_noise, lml, x, y, mask, sub, eps_scale,
             n_hmc=n_hmc, n_leapfrog=hmc_cfg.n_leapfrog,
             step_size=hmc_cfg.step_size, step_jitter=hmc_cfg.step_size_jitter,
             jitter=jitter, noise_mu=noise_mu, noise_sigma=noise_sigma,
@@ -131,4 +135,5 @@ def mcmc_structure_sweep(
             for pn, po in zip(pri_prop, pri_old)
         )
         accepts.append(acc_np.mean())
-    return host_types, params, log_noise, lml, key, float(np.mean(accepts)) if accepts else 0.0
+    return (host_types, params, log_noise, lml, key,
+            float(np.mean(accepts)) if accepts else 0.0, eps_scale)

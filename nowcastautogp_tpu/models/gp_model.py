@@ -97,6 +97,7 @@ class GPModel:
         self._params_d = jnp.asarray(np.stack(params_l), DTYPE)
         self._log_noise_d = jnp.asarray(np.asarray(noise_l), DTYPE)
         self._lml_d = jnp.zeros(P, DTYPE)
+        self._eps_scale_d = jnp.ones(P, DTYPE)  # adaptive HMC step scales
         self.log_weight = np.zeros(P, dtype=np.float64)
 
         # ingestion bookkeeping: device buffers hold data in ingestion order
@@ -175,10 +176,10 @@ class GPModel:
 
     def resample(self, method: str = "systematic"):
         idx = resample_indices(self.rng, self.log_weight, method)
-        state = (self._params_d, self._log_noise_d, self._lml_d)
-        self._params_d, self._log_noise_d, self._lml_d = gather_particles(
-            state, jnp.asarray(idx)
-        )
+        state = (self._params_d, self._log_noise_d, self._lml_d,
+                 self._eps_scale_d)
+        (self._params_d, self._log_noise_d, self._lml_d,
+         self._eps_scale_d) = gather_particles(state, jnp.asarray(idx))
         self._host_types = self._host_types[idx]
         self.log_weight = np.zeros_like(self.log_weight)
         return idx
@@ -199,7 +200,7 @@ class GPModel:
             from ..inference.device_smc import rejuvenation_sweep
             from .structures_device import ancestor_table, config_arrays
 
-            types, params, log_noise, lml, acc = rejuvenation_sweep(
+            types, params, log_noise, lml, acc, scale = rejuvenation_sweep(
                 jnp.asarray(self._host_types), self._params_d,
                 self._log_noise_d, self._lml_d, x, y, m, self.next_key(),
                 config_arrays(self.config),
@@ -208,15 +209,18 @@ class GPModel:
                 n_leapfrog=hmc_cfg.n_leapfrog, step_size=hmc_cfg.step_size,
                 step_jitter=hmc_cfg.step_size_jitter, jitter=DEFAULT_JITTER,
                 noise_mu=noise_mu, noise_sigma=noise_sigma, infer_noise=infer,
+                eps_scale=self._eps_scale_d,
             )
             self._host_types = np.asarray(types)
             self._params_d, self._log_noise_d, self._lml_d = params, log_noise, lml
+            self._eps_scale_d = scale
             return float(np.asarray(acc).mean())
         (self._host_types, self._params_d, self._log_noise_d, self._lml_d,
-         self._key, acc) = mcmc_structure_sweep(
+         self._key, acc, self._eps_scale_d) = mcmc_structure_sweep(
             self.rng, self._key, self._host_types, self._params_d,
             self._log_noise_d, self._lml_d, x, y, m, self.config,
-            n_mcmc, n_hmc, hmc_cfg, DEFAULT_JITTER, noise_mu, noise_sigma, infer,
+            n_mcmc, n_hmc, hmc_cfg, DEFAULT_JITTER, noise_mu, noise_sigma,
+            infer, eps_scale=self._eps_scale_d,
         )
         return acc
 
@@ -227,13 +231,14 @@ class GPModel:
         x, y, m = self._batched_data()
         mu, sigma, active = (jnp.asarray(a) for a in
                              prior_arrays(self._host_types, self.config))
-        self._params_d, self._log_noise_d, self._lml_d, rate = run_hmc(
+        (self._params_d, self._log_noise_d, self._lml_d, rate,
+         self._eps_scale_d) = run_hmc(
             jnp.asarray(self._host_types), self._params_d, self._log_noise_d,
             mu, sigma, active, x, y, m, self.next_key(),
             n_steps=int(n_hmc), n_leapfrog=hmc_cfg.n_leapfrog,
             step_size=hmc_cfg.step_size, step_jitter=hmc_cfg.step_size_jitter,
             jitter=DEFAULT_JITTER, noise_mu=noise_mu, noise_sigma=noise_sigma,
-            infer_noise=infer,
+            infer_noise=infer, eps_scale=self._eps_scale_d,
         )
         return float(np.asarray(rate).mean())
 
@@ -254,6 +259,7 @@ class GPModel:
             "log_noise": np.asarray(self._log_noise_d).copy(),
             "lml": np.asarray(self._lml_d).copy(),
             "log_weight": self.log_weight.copy(),
+            "hmc_eps_scale": np.asarray(self._eps_scale_d).copy(),
             "config": self.config,
             "rng_state": self.rng.bit_generator.state,
             "key": np.asarray(jax.random.key_data(self._key)).copy(),
@@ -274,6 +280,11 @@ class GPModel:
         self._log_noise_d = jnp.asarray(d["log_noise"], DTYPE)
         self._lml_d = jnp.asarray(d["lml"], DTYPE)
         self.log_weight = np.asarray(d["log_weight"], dtype=np.float64)
+        scale = d.get("hmc_eps_scale")
+        self._eps_scale_d = (
+            jnp.asarray(scale, DTYPE) if scale is not None
+            else jnp.ones(self._host_types.shape[0], DTYPE)
+        )
         self.rng = np.random.default_rng()
         self.rng.bit_generator.state = copy.deepcopy(d["rng_state"])
         self._key = jax.random.wrap_key_data(jnp.asarray(d["key"]))

@@ -225,6 +225,7 @@ def _forecast_with_nowcasts_batched(
     host_types = np.tile(base_model._host_types, (S, 1))
     params = jnp.tile(base_model._params_d, (S, 1, 1))
     log_noise = jnp.tile(base_model._log_noise_d, (S,))
+    eps_scale = jnp.tile(base_model._eps_scale_d, (S,))
     types_d = jnp.asarray(host_types)
 
     # cached LML may be on a different (shuffled-capacity) buffer; recompute
@@ -250,8 +251,8 @@ def _forecast_with_nowcasts_batched(
                 log_w[sl] = 0.0
                 resampled_any = True
         if resampled_any:
-            params, log_noise, lml = gather_particles(
-                (params, log_noise, lml), jnp.asarray(flat_idx)
+            params, log_noise, lml, eps_scale = gather_particles(
+                (params, log_noise, lml, eps_scale), jnp.asarray(flat_idx)
             )
             host_types = host_types[flat_idx]
             types_d = jnp.asarray(host_types)
@@ -263,7 +264,7 @@ def _forecast_with_nowcasts_batched(
         from .models.structures_device import ancestor_table, config_arrays
 
         key, sub = jax.random.split(key)
-        types_d, params, log_noise, lml, _ = rejuvenation_sweep(
+        types_d, params, log_noise, lml, _, eps_scale = rejuvenation_sweep(
             types_d, params, log_noise, lml, x_b, y_b, m_new_b, sub,
             config_arrays(base_model.config),
             jnp.asarray(ancestor_table(base_model.config.max_nodes)),
@@ -271,18 +272,19 @@ def _forecast_with_nowcasts_batched(
             n_leapfrog=hmc_cfg.n_leapfrog, step_size=hmc_cfg.step_size,
             step_jitter=hmc_cfg.step_size_jitter, jitter=DEFAULT_JITTER,
             noise_mu=noise_mu, noise_sigma=noise_sigma, infer_noise=infer,
+            eps_scale=eps_scale,
         )
         host_types = np.asarray(types_d)
     elif n_mcmc == 0 and n_hmc > 0:
         mu, sg, act = (jnp.asarray(a) for a in
                        prior_arrays(host_types, base_model.config))
         key, sub = jax.random.split(key)
-        params, log_noise, lml, _ = run_hmc(
+        params, log_noise, lml, _, eps_scale = run_hmc(
             types_d, params, log_noise, mu, sg, act, x_b, y_b, m_new_b, sub,
             n_steps=int(n_hmc), n_leapfrog=hmc_cfg.n_leapfrog,
             step_size=hmc_cfg.step_size, step_jitter=hmc_cfg.step_size_jitter,
             jitter=DEFAULT_JITTER, noise_mu=noise_mu, noise_sigma=noise_sigma,
-            infer_noise=infer,
+            infer_noise=infer, eps_scale=eps_scale,
         )
 
     # --- forecast sampling
@@ -317,7 +319,7 @@ def _forecast_with_nowcasts_batched(
                                 prior_arrays(host_types, base_model.config))
         for j in range(D):
             key, k_hmc, k_comp, k_eps = jax.random.split(key, 4)
-            params, log_noise, lml, _ = run_hmc(
+            params, log_noise, lml, _, eps_scale = run_hmc(
                 types_d, params, log_noise, mu_pr, sg_pr, act_pr,
                 x_b, y_b, m_new_b, k_hmc,
                 n_steps=int(forecast_n_hmc), n_leapfrog=hmc_cfg.n_leapfrog,
@@ -325,6 +327,7 @@ def _forecast_with_nowcasts_batched(
                 step_jitter=hmc_cfg.step_size_jitter,
                 jitter=DEFAULT_JITTER, noise_mu=noise_mu,
                 noise_sigma=noise_sigma, infer_noise=infer,
+                eps_scale=eps_scale,
             )
             mu, chol = _sample(params, log_noise, types_d, lml, key)
             comps = jax.random.categorical(k_comp, logw_d, axis=-1)  # (S,)

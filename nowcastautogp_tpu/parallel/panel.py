@@ -101,6 +101,7 @@ def fit_panel(
     params = jnp.asarray(np.stack(ps), jnp.float32)
     log_noise = jnp.asarray(np.asarray(lns, np.float32))
     lml = jnp.zeros(R, jnp.float32)
+    eps_scale = jnp.ones(R, jnp.float32)
     log_w = np.zeros(R, dtype=np.float64)
 
     x_b = jnp.asarray(x_rows, jnp.float32)
@@ -142,16 +143,17 @@ def fit_panel(
                 log_w[sl] = 0.0
                 low.append(s)
         if low:
-            params, log_noise, lml = gather_particles(
-                (params, log_noise, lml), jnp.asarray(flat_idx)
+            params, log_noise, lml, eps_scale = gather_particles(
+                (params, log_noise, lml, eps_scale), jnp.asarray(flat_idx)
             )
             host_types = host_types[flat_idx]
         do_rejuvenate = bool(low) or not adaptive_rejuvenation
         if do_rejuvenate and n_mcmc > 0:
-            host_types, params, log_noise, lml, key, _ = mcmc_structure_sweep(
+            (host_types, params, log_noise, lml, key, _,
+             eps_scale) = mcmc_structure_sweep(
                 rng, key, host_types, params, log_noise, lml, x_b, y_b, mask_b,
                 config, n_mcmc, n_hmc, hmc_cfg, DEFAULT_JITTER,
-                noise_mu, noise_sigma, infer,
+                noise_mu, noise_sigma, infer, eps_scale=eps_scale,
             )
         elif do_rejuvenate and n_hmc > 0:
             from ..inference.hmc import run_hmc
@@ -159,19 +161,21 @@ def fit_panel(
             mu, sg, act = (jnp.asarray(a) for a in
                            prior_arrays(host_types, config))
             key, sub = jax.random.split(key)
-            params, log_noise, lml, _ = run_hmc(
+            params, log_noise, lml, _, eps_scale = run_hmc(
                 jnp.asarray(host_types), params, log_noise, mu, sg, act,
                 x_b, y_b, mask_b, sub,
                 n_steps=n_hmc, n_leapfrog=hmc_cfg.n_leapfrog,
                 step_size=hmc_cfg.step_size, step_jitter=hmc_cfg.step_size_jitter,
                 jitter=DEFAULT_JITTER, noise_mu=noise_mu,
                 noise_sigma=noise_sigma, infer_noise=infer,
+                eps_scale=eps_scale,
             )
 
     # ---- split rows back into per-series GPModels
     params_np = np.asarray(params)
     log_noise_np = np.asarray(log_noise)
     lml_np = np.asarray(lml)
+    scale_np = np.asarray(eps_scale)
     models = []
     for s, d in enumerate(datasets):
         sl = slice(s * P, (s + 1) * P)
@@ -189,6 +193,7 @@ def fit_panel(
             "log_noise": log_noise_np[sl],
             "lml": lml_np[sl],
             "log_weight": log_w[sl].copy(),
+            "hmc_eps_scale": scale_np[sl],
             "config": config,
             "rng_state": np.random.default_rng(int(sub_seed)).bit_generator.state,
             "key": np.asarray(jax.random.key_data(jax.random.PRNGKey(int(sub_seed)))),

@@ -52,7 +52,7 @@ def shard_rows(tree, mesh: Mesh, axis_name: str = "series"):
 def panel_smc_step(
     types_old, types_prop, params, params_prop,
     pri_old, pri_prop, log_hastings, log_noise, log_weight, lml_cached,
-    x, y, mask_new, key, *,
+    eps_scale, x, y, mask_new, key, *,
     n_hmc, n_leapfrog, step_size=0.02, step_jitter=0.5,
     jitter=DEFAULT_JITTER, noise_mu=-2.0, noise_sigma=1.0, infer_noise=1.0,
 ):
@@ -89,11 +89,12 @@ def panel_smc_step(
 
     # (3) HMC rejuvenation
     keys = jax.random.split(k_hmc, R)
-    params, log_noise, lml, acc_rate = jax.vmap(
-        _hmc_single, in_axes=(0,) * 10 + (None,) * 8
+    params, log_noise, lml, acc_rate, eps_scale = jax.vmap(
+        _hmc_single, in_axes=(0,) * 11 + (None,) * 8
     )(
         types, params, log_noise, mu, sg, act, x, y, mask_new, keys,
-        n_hmc, n_leapfrog, step_size, step_jitter,
+        eps_scale, n_hmc, n_leapfrog, step_size, step_jitter,
         jitter, noise_mu, noise_sigma, infer_noise,
     )
-    return types, params, log_noise, log_weight, lml, accept, acc_rate
+    return (types, params, log_noise, log_weight, lml, accept, acc_rate,
+            eps_scale)

@@ -142,3 +142,27 @@ class TestDeviceFitParity:
             biased=True, seed=4,
         )
         assert m.n_ingested == 30
+
+
+class TestAdaptiveHMC:
+    def test_eps_scale_adapts_and_persists(self):
+        import nowcastautogp_tpu as ngp
+
+        data, dates, obs = TestDeviceFitParity()._data(seed=21)
+        m = ngp.make_and_fit_model(
+            data, n_particles=2, smc_data_proportion=0.34, n_mcmc=2, n_hmc=3,
+            seed=6,
+        )
+        scale = np.asarray(m._eps_scale_d)
+        assert scale.shape == (2,)
+        assert np.all(scale > 0)
+        # after dozens of trajectories the scales should have moved off 1.0
+        assert not np.allclose(scale, 1.0)
+        # survives serialization
+        m2 = ngp.GPModel(m.to_dict())
+        np.testing.assert_allclose(np.asarray(m2._eps_scale_d), scale)
+        # old dicts without the field still load
+        d = m.to_dict()
+        del d["hmc_eps_scale"]
+        m3 = ngp.GPModel(d)
+        np.testing.assert_allclose(np.asarray(m3._eps_scale_d), 1.0)
