@@ -31,16 +31,46 @@ def forecast(
     dispatch semantics of the reference (``src/forecasting.jl:39-75``).
     """
     dates = list(forecast_dates)
-    n_dates = len(dates)
     if forecast_n_hmc is None:
         dist = predict_mvn(model, dates)
         draws = dist.sample(model.rng, int(forecast_draws))
     else:
         forecast_n_hmc = int(forecast_n_hmc)
         assert forecast_n_hmc > 0, "forecast_n_hmc must be > 0 if specified"
-        draws = np.empty((n_dates, int(forecast_draws)))
-        for i in range(int(forecast_draws)):
-            mcmc_parameters(model, forecast_n_hmc)
-            dist = predict_mvn(model, dates)
-            draws[:, i] = dist.sample(model.rng, 1)[:, 0]
+        draws = _forecast_hmc_fused(model, dates, int(forecast_draws),
+                                    forecast_n_hmc)
     return apply_elementwise(inv_transformation, draws)
+
+
+def _forecast_hmc_fused(model: GPModel, dates, n_draws: int,
+                        n_hmc: int) -> np.ndarray:
+    """Whole HMC-refresh draw loop as one device scan (mutates the model's
+    hyperparameters like the reference's per-draw loop does)."""
+    import jax.numpy as jnp
+
+    from .models.config import HMCConfig
+    from .models.structures import prior_arrays
+    from .ops.forecast_scan import forecast_hmc_scan
+    from .ops.lml import DEFAULT_JITTER
+
+    hmc_cfg = HMCConfig()
+    noise_mu, noise_sigma, infer = model.noise_prior
+    x, y, m = model._batched_data()
+    xs = jnp.asarray(model._normalize_dates(dates), jnp.float32)
+    mu_p, sg_p, act_p = (jnp.asarray(a) for a in
+                         prior_arrays(model._host_types, model.config))
+    lw = model.log_weight - model.log_weight.max()
+    samples, params, log_noise, lml, scale = forecast_hmc_scan(
+        jnp.asarray(model._host_types), model._params_d, model._log_noise_d,
+        mu_p, sg_p, act_p, x, y, m, xs,
+        jnp.asarray(lw.astype(np.float32)), model.next_key(),
+        model._eps_scale_d,
+        n_draws=n_draws, n_hmc=n_hmc, n_leapfrog=hmc_cfg.n_leapfrog,
+        step_size=hmc_cfg.step_size, step_jitter=hmc_cfg.step_size_jitter,
+        jitter=DEFAULT_JITTER, noise_mu=noise_mu, noise_sigma=noise_sigma,
+        infer_noise=infer,
+    )
+    model._params_d, model._log_noise_d = params, log_noise
+    model._lml_d, model._eps_scale_d = lml, scale
+    out = np.asarray(samples, dtype=np.float64)
+    return model._y_mean + model._y_std * out
