@@ -31,6 +31,7 @@ from .models.posterior import MvNormalMixture
 from .nowcast import create_nowcast_data, forecast_with_nowcasts
 from .tdata import TData, create_transformed_data
 from .transforms import get_transformations
+from .utils.data import VintagedData, load_vintaged_csv
 from .utils.profiling import device_trace, phase_report, reset_phases
 from .utils.serialize import load_model, save_model
 
@@ -49,4 +50,6 @@ __all__ = [
     "crps_ensemble", "crps_matrix", "quantile_matrix",
     "phase_report", "reset_phases", "device_trace",
     "save_model", "load_model",
+    # vintaged-data workflow helpers
+    "VintagedData", "load_vintaged_csv",
 ]
