@@ -12,10 +12,6 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     flags = (flags + " --xla_force_host_platform_device_count=8").strip()
-# single-threaded LLVM codegen: parallel codegen intermittently segfaulted
-# XLA:CPU deep into long single-process runs (many large compilations)
-if "xla_cpu_parallel_codegen_split_count" not in flags:
-    flags = (flags + " --xla_cpu_parallel_codegen_split_count=1").strip()
 os.environ["XLA_FLAGS"] = flags
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -26,12 +22,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# NOTE: the persistent compilation cache is deliberately NOT enabled here.
-# XLA:CPU AOT executable (de)serialization is unstable in this environment:
-# artifacts written under one CPU-feature profile SIGILL when loaded under
-# another, and the serializer itself segfaulted on some programs.  Tests pay
-# first-compile each run instead; the TPU bench keeps its own (TPU-artifact)
-# cache, which has been stable.
+# Persistent compilation cache, keyed by the host CPU feature set (XLA:CPU
+# AOT artifacts built under a different vector-extension profile SIGILL when
+# loaded).  The cache matters doubly here: the box has a single CPU core, and
+# XLA:CPU has crashed sporadically very deep into single-process runs with
+# many large compilations — cached runs do far fewer.
+import hashlib  # noqa: E402
+
+try:
+    with open("/proc/cpuinfo") as _f:
+        _flags_line = next(line for line in _f if line.startswith("flags"))
+    _cpu_key = hashlib.sha1(_flags_line.encode()).hexdigest()[:10]
+except Exception:  # pragma: no cover
+    _cpu_key = "generic"
+jax.config.update("jax_compilation_cache_dir", f"/tmp/ngp_jax_cache_{_cpu_key}")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

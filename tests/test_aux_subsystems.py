@@ -25,7 +25,7 @@ def fitted():
     data = ngp.create_transformed_data(dates, obs, transformation=np.log)
     ngp.reset_phases()
     model = ngp.make_and_fit_model(
-        data, n_particles=2, smc_data_proportion=0.34, n_mcmc=1, n_hmc=1, seed=2
+        data, n_particles=2, smc_data_proportion=0.34, n_mcmc=2, n_hmc=2, seed=2
     )
     return model, dates
 

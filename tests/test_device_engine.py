@@ -150,7 +150,7 @@ class TestAdaptiveHMC:
 
         data, dates, obs = TestDeviceFitParity()._data(seed=21)
         m = ngp.make_and_fit_model(
-            data, n_particles=2, smc_data_proportion=0.34, n_mcmc=2, n_hmc=3,
+            data, n_particles=2, smc_data_proportion=0.34, n_mcmc=2, n_hmc=2,
             seed=6,
         )
         scale = np.asarray(m._eps_scale_d)

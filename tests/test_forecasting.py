@@ -27,7 +27,7 @@ def fitted_log():
     fwd, inv = ngp.get_transformations("positive", obs)
     data = ngp.create_transformed_data(dates, obs, transformation=fwd)
     model = ngp.make_and_fit_model(
-        data, n_particles=2, smc_data_proportion=0.25, n_mcmc=2, n_hmc=2, seed=2
+        data, n_particles=2, smc_data_proportion=0.34, n_mcmc=2, n_hmc=2, seed=2
     )
     return model, inv, dates
 
@@ -41,7 +41,7 @@ def fitted_percentage():
     fwd, inv = ngp.get_transformations("percentage", obs)
     data = ngp.create_transformed_data(dates, obs, transformation=fwd)
     model = ngp.make_and_fit_model(
-        data, n_particles=2, smc_data_proportion=0.25, n_mcmc=0, n_hmc=2, seed=4
+        data, n_particles=2, smc_data_proportion=0.34, n_mcmc=0, n_hmc=2, seed=4
     )
     return model, inv, dates
 

@@ -26,7 +26,8 @@ class TestGPConfig:
     def test_config_stored_by_reference(self):
         cfg = ngp.GPConfig()
         model = ngp.make_and_fit_model(
-            _data(), n_particles=1, config=cfg, n_mcmc=0, n_hmc=1, seed=0
+            _data(), n_particles=1, config=cfg, n_mcmc=0, n_hmc=1, seed=0,
+            smc_data_proportion=0.5,
         )
         assert model.config is cfg
 
@@ -37,7 +38,8 @@ class TestGPConfig:
         assert cfg.node_dist_leaf == [0.0, 0.5, 0.0, 0.0, 0.5]
         assert cfg.changepoints is False
         model = ngp.make_and_fit_model(
-            _data(), n_particles=2, config=cfg, n_mcmc=2, n_hmc=1, seed=1
+            _data(), n_particles=2, config=cfg, n_mcmc=2, n_hmc=1, seed=1,
+            smc_data_proportion=0.5,
         )
         assert model.config is cfg
         # only Linear (1) and Periodic (5) leaves can appear, no changepoints

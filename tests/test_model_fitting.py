@@ -36,7 +36,7 @@ def fitted(series):
     fwd, inv = ngp.get_transformations("positive", obs)
     data = ngp.create_transformed_data(dates, obs, transformation=fwd)
     model = ngp.make_and_fit_model(
-        data, n_particles=2, smc_data_proportion=0.25, n_mcmc=3, n_hmc=2, seed=7
+        data, n_particles=2, smc_data_proportion=0.34, n_mcmc=2, n_hmc=2, seed=7
     )
     return model, inv, dates
 
@@ -53,16 +53,21 @@ class TestMakeAndFitModel:
         dates, obs = series
         data = ngp.create_transformed_data(dates, obs, transformation=np.log)
         model = ngp.make_and_fit_model(
-            data, n_particles=1, smc_data_proportion=0.5, n_mcmc=2, n_hmc=2, seed=0
+            data, n_particles=1, smc_data_proportion=0.34, n_mcmc=2, n_hmc=2, seed=0
         )
         assert ngp.num_particles(model) == 1
 
-    def test_tiny_proportion_clamped(self, series):
+    def test_tiny_proportion_clamped(self):
         # a proportion far below 1/n must still produce a valid schedule
-        dates, obs = series
+        from nowcastautogp_tpu.inference.schedule import linear_schedule
+
+        assert linear_schedule(40, max(1e-6, 1 / 40)) == list(range(1, 41))
+        dates = _weekly_dates(8)
+        obs = np.exp(np.linspace(2, 3, 8))
         data = ngp.create_transformed_data(dates, obs, transformation=np.log)
         model = ngp.make_and_fit_model(
-            data, n_particles=1, smc_data_proportion=1e-6, n_mcmc=0, n_hmc=2, seed=0
+            data, n_particles=1, smc_data_proportion=1e-6, n_mcmc=0, n_hmc=1,
+            seed=0,
         )
         assert model.n_ingested == len(obs)
 
@@ -85,7 +90,7 @@ class TestIssue51Regression:
             fwd, inv = ngp.get_transformations("boxcox", flat)
         data = ngp.create_transformed_data(dates, flat, transformation=fwd)
         model = ngp.make_and_fit_model(
-            data, n_particles=1, smc_data_proportion=0.5, n_mcmc=2, n_hmc=2, seed=3
+            data, n_particles=1, smc_data_proportion=0.34, n_mcmc=2, n_hmc=2, seed=3
         )
         fdates = _weekly_dates(3, start=dates[-1] + dt.timedelta(weeks=1))
         fc = ngp.forecast(model, fdates, 50, inv_transformation=inv)
@@ -103,7 +108,7 @@ class TestIssue51Regression:
         with pytest.warns(UserWarning, match="Near-constant"):
             data = ngp.create_transformed_data(dates, const, transformation=fwd)
             model = ngp.make_and_fit_model(
-                data, n_particles=1, smc_data_proportion=0.5, n_mcmc=2, n_hmc=2,
+                data, n_particles=1, smc_data_proportion=0.34, n_mcmc=2, n_hmc=2,
                 seed=5,
             )
         fdates = _weekly_dates(2, start=dates[-1] + dt.timedelta(weeks=1))

@@ -30,7 +30,7 @@ def base():
     fwd, inv = ngp.get_transformations("positive", obs)
     data = ngp.create_transformed_data(dates, obs, transformation=fwd)
     model = ngp.make_and_fit_model(
-        data, n_particles=2, smc_data_proportion=0.25, n_mcmc=2, n_hmc=2, seed=9
+        data, n_particles=2, smc_data_proportion=0.34, n_mcmc=2, n_hmc=2, seed=9
     )
     nc_dates = _dates(2, start=dates[-1] + dt.timedelta(weeks=1))
     f_dates = _dates(3, start=nc_dates[-1] + dt.timedelta(weeks=1))

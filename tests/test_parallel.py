@@ -58,12 +58,12 @@ class TestMesh:
 
 class TestPanel:
     def test_fit_panel_returns_models(self):
-        datasets = _panel(3)
+        datasets = _panel(2)
         models = fit_panel(
-            datasets, n_particles=2, smc_data_proportion=0.34,
-            n_mcmc=1, n_hmc=1, seed=4,
+            datasets, n_particles=2, smc_data_proportion=0.5,
+            n_mcmc=0, n_hmc=1, seed=4,
         )
-        assert len(models) == 3
+        assert len(models) == 2
         for m, d in zip(models, datasets):
             assert isinstance(m, ngp.GPModel)
             assert m.num_particles == 2

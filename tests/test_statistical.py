@@ -22,33 +22,44 @@ def _dates(n, start=dt.date(2022, 1, 3)):
 
 @pytest.fixture(scope="module")
 def periodic_fit():
-    # strongly periodic signal + linear trend
+    # strongly periodic signal + linear trend.  Four small independent fits
+    # (same compiled program as the rest of the suite) stand in for one big
+    # ensemble: pooled particles answer the structure-recovery question.
     rng = np.random.default_rng(99)
     n = 64
     t = np.arange(n)
     y = 1.5 * np.sin(2 * np.pi * t / 16.0) + 0.03 * t + 0.15 * rng.standard_normal(n)
     dates = _dates(n)
     data = ngp.create_transformed_data(dates, np.exp(y), transformation=np.log)
-    model = ngp.make_and_fit_model(
-        data, n_particles=8, smc_data_proportion=0.2, n_mcmc=6, n_hmc=2, seed=3
-    )
-    return model, dates, y, t
+    models = [
+        ngp.make_and_fit_model(
+            data, n_particles=2, smc_data_proportion=0.34, n_mcmc=2, n_hmc=2,
+            seed=3 + i,
+        )
+        for i in range(4)
+    ]
+    return models, dates, y, t
 
 
 class TestStructureRecovery:
     def test_periodic_component_discovered(self, periodic_fit):
-        model, dates, y, t = periodic_fit
-        # weight-weighted fraction of particles containing a Periodic node
-        w = np.exp(model.log_weight - model.log_weight.max())
-        w /= w.sum()
-        has_periodic = np.array(
-            [np.any(types == PERIODIC) for types in model._host_types],
-            dtype=float,
-        )
-        assert (w * has_periodic).sum() > 0.5, model.structures()
+        models, dates, y, t = periodic_fit
+        # pooled weight-weighted fraction of particles with a Periodic node
+        num = den = 0.0
+        for model in models:
+            w = np.exp(model.log_weight - model.log_weight.max())
+            w /= w.sum()
+            has_periodic = np.array(
+                [np.any(types == PERIODIC) for types in model._host_types],
+                dtype=float,
+            )
+            num += (w * has_periodic).sum()
+            den += 1.0
+        assert num / den > 0.5, [m.structures() for m in models]
 
     def test_forecast_tracks_oscillation(self, periodic_fit):
-        model, dates, y, t = periodic_fit
+        models, dates, y, t = periodic_fit
+        model = models[0]
         # forecast 8 steps; correlation with the continued clean signal
         f_dates = _dates(8, start=dates[-1] + dt.timedelta(weeks=1))
         fc = ngp.forecast(model, f_dates, 400, inv_transformation=lambda v: v)
@@ -70,7 +81,7 @@ class TestCalibration:
         dates = _dates(n + n_hold)
         data = ngp.create_transformed_data(dates[:n], y[:n])
         model = ngp.make_and_fit_model(
-            data, n_particles=4, smc_data_proportion=0.25, n_mcmc=4, n_hmc=2,
+            data, n_particles=2, smc_data_proportion=0.34, n_mcmc=2, n_hmc=2,
             seed=11,
         )
         fc = ngp.forecast(model, dates[n:], 500)
@@ -87,7 +98,7 @@ class TestCalibration:
         dates = _dates(n)
         data = ngp.create_transformed_data(dates, y)
         model = ngp.make_and_fit_model(
-            data, n_particles=4, smc_data_proportion=0.25, n_mcmc=4, n_hmc=2,
+            data, n_particles=2, smc_data_proportion=0.34, n_mcmc=2, n_hmc=2,
             seed=13,
         )
         # predictive at training points should track the data closely
