@@ -18,11 +18,15 @@ def crps_ensemble(draws: np.ndarray, observation: float) -> float:
     """CRPS of one predictive ensemble (1-D draws) against a scalar truth."""
     x = np.asarray(draws, dtype=np.float64).ravel()
     term1 = np.abs(x - float(observation)).mean()
-    # pairwise E|X - X'| via sorting: O(n log n) instead of O(n^2)
+    # pairwise E|X - X'| over the n(n-1)/2 DISTINCT pairs (the fair-ensemble
+    # form the reference vignette uses, ``getting-started.jl:697-698``),
+    # via sorting: O(n log n) instead of O(n^2)
     xs = np.sort(x)
     n = xs.size
+    if n < 2:
+        return float(term1)
     coeffs = 2.0 * np.arange(1, n + 1) - n - 1
-    term2 = 2.0 * np.sum(coeffs * xs) / (n * n)
+    term2 = 2.0 * np.sum(coeffs * xs) / (n * (n - 1))
     return float(term1 - 0.5 * term2)
 
 

@@ -340,12 +340,15 @@ def add_data(model: GPModel, ds, y) -> None:
     else:
         model.ds = np.concatenate([model.ds, ds_new.astype(model.ds.dtype)])
     model.y = np.concatenate([model.y, y_new])
-    model._order = np.concatenate(
-        [model._order, np.arange(n_old, n_old + len(y_new), dtype=np.int64)]
-    )
+    # splice the new rows into the ingestion order at position n_ingested so
+    # the extended mask covers exactly the new block — appending at the end
+    # would mis-weight a model that still has not-yet-ingested shuffled rows
+    new_idx = np.arange(n_old, n_old + len(y_new), dtype=np.int64)
+    k = model.n_ingested
+    model._order = np.concatenate([model._order[:k], new_idx, model._order[k:]])
     model._push_data()
     # condition: everything previously ingested plus the new block
-    model.reweight_to(model.n_ingested + len(y_new))
+    model.reweight_to(k + len(y_new))
 
 
 def maybe_resample(model: GPModel, threshold: float) -> bool:

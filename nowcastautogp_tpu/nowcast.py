@@ -313,28 +313,24 @@ def _forecast_with_nowcasts_batched(
         samples = mu[flat_comp] + jnp.einsum("rij,rj->ri", chol[flat_comp], eps)
         out = np.asarray(samples, dtype=np.float64).reshape(S * D, m_out).T
     else:
-        # per-draw HMC refresh on the flattened batch, then one draw/scenario
-        out = np.empty((m_out, S * D))
+        # per-draw HMC refresh fused into ONE lax.scan device program over
+        # all D draws (the plain-forecast treatment of ops/forecast_scan.py
+        # applied to the flattened S*P batch) — replaces ~3 device calls per
+        # draw with a single dispatch
+        from .ops.forecast_scan import nowcast_forecast_hmc_scan
+
         mu_pr, sg_pr, act_pr = (jnp.asarray(a) for a in
                                 prior_arrays(host_types, base_model.config))
-        for j in range(D):
-            key, k_hmc, k_comp, k_eps = jax.random.split(key, 4)
-            params, log_noise, lml, _, eps_scale = run_hmc(
-                types_d, params, log_noise, mu_pr, sg_pr, act_pr,
-                x_b, y_b, m_new_b, k_hmc,
-                n_steps=int(forecast_n_hmc), n_leapfrog=hmc_cfg.n_leapfrog,
-                step_size=hmc_cfg.step_size,
-                step_jitter=hmc_cfg.step_size_jitter,
-                jitter=DEFAULT_JITTER, noise_mu=noise_mu,
-                noise_sigma=noise_sigma, infer_noise=infer,
-                eps_scale=eps_scale,
-            )
-            mu, chol = _sample(params, log_noise, types_d, lml, key)
-            comps = jax.random.categorical(k_comp, logw_d, axis=-1)  # (S,)
-            flat_comp = comps + jnp.arange(S) * P
-            eps = jax.random.normal(k_eps, (S, m_out), mu.dtype)
-            draw = mu[flat_comp] + jnp.einsum("sij,sj->si", chol[flat_comp], eps)
-            out[:, j::D] = np.asarray(draw, dtype=np.float64).T
+        key, sub = jax.random.split(key)
+        samples, params, log_noise, eps_scale = nowcast_forecast_hmc_scan(
+            types_d, params, log_noise, mu_pr, sg_pr, act_pr,
+            x_b, y_b, m_new_b, xs, logw_d, sub, eps_scale,
+            n_scenarios=S, n_draws=D, n_hmc=int(forecast_n_hmc),
+            n_leapfrog=hmc_cfg.n_leapfrog, step_size=hmc_cfg.step_size,
+            step_jitter=hmc_cfg.step_size_jitter, jitter=DEFAULT_JITTER,
+            noise_mu=noise_mu, noise_sigma=noise_sigma, infer_noise=infer,
+        )
+        out = np.asarray(samples, dtype=np.float64)
 
     # back to the transformed-data scale, then the original scale
     out = base_model._y_mean + base_model._y_std * out

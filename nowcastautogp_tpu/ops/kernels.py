@@ -154,7 +154,10 @@ def _use_pallas() -> bool:
 def cov_fn(node_types, params, x1, x2):
     """Single-tree covariance via the active backend (trace-time choice)."""
     if _use_pallas():
-        from .pallas_cov import eval_cov_fused
+        from .pallas_cov import MAX_FUSED_N, eval_cov_fused
 
-        return eval_cov_fused(node_types, params, x1, x2)
+        # the fused whole-matrix kernel holds K in VMEM; beyond its budget
+        # fall back to the interpreter (shapes are static at trace time)
+        if max(x1.shape[0], x2.shape[0]) <= MAX_FUSED_N:
+            return eval_cov_fused(node_types, params, x1, x2)
     return eval_cov_impl(node_types, params, x1, x2)

@@ -82,7 +82,10 @@ class VintagedData:
 
     def final(self, reference_dates):
         """Latest-known value for each requested reference date."""
-        ds, vals = self.snapshot(self.report_dates[-1])
+        # rows are kept in input order (not necessarily sorted by report
+        # date); the latest report is the max, not the last row
+        rep = dates_to_float(self.report_dates)
+        ds, vals = self.snapshot(self.report_dates[int(rep.argmax())])
         key = {k: v for k, v in zip(dates_to_float(ds), vals)}
         want = dates_to_float(as_date_array(list(reference_dates)))
         return np.asarray([key[k] for k in want])

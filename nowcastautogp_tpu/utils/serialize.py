@@ -22,7 +22,7 @@ from ..models.gp_model import GPModel
 __all__ = ["save_model", "load_model"]
 
 _ARRAY_KEYS = ("y", "order", "node_types", "params", "log_noise", "lml",
-               "log_weight", "key")
+               "log_weight", "hmc_eps_scale", "key")
 _SCALAR_KEYS = ("version", "n_ingested", "t0", "t_scale", "y_mean", "y_std")
 
 
@@ -67,7 +67,9 @@ def load_model(path: str) -> GPModel:
     """Reconstruct a model saved with :func:`save_model`."""
     with np.load(path) as z:
         header = json.loads(bytes(z["header"]).decode())
-        arrays = {k: z[k] for k in _ARRAY_KEYS}
+        # hmc_eps_scale absent in pre-round-2 checkpoints: GPModel defaults
+        # the missing key to ones on load
+        arrays = {k: z[k] for k in _ARRAY_KEYS if k in z}
         ds_raw = z["ds"]
     cfg_h = header["config"]
     config = GPConfig(
@@ -84,7 +86,7 @@ def load_model(path: str) -> GPModel:
     else:
         ds = np.asarray(ds_raw, dtype=np.float64)
     d = dict(header["scalars"])
-    d.update({k: arrays[k] for k in _ARRAY_KEYS})
+    d.update(arrays)
     d["ds"] = ds
     d["config"] = config
     d["rng_state"] = _unjsonify(header["rng_state"])

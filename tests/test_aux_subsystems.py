@@ -52,10 +52,17 @@ class TestDiskCheckpoint:
         m2 = ngp.load_model(path)
         assert m2.num_particles == model.num_particles
         assert m2.n_ingested == model.n_ingested
-        np.testing.assert_array_equal(m2._host_types, model._host_types)
-        np.testing.assert_allclose(
-            np.asarray(m2._params_d), np.asarray(model._params_d)
-        )
+        # full-state fidelity: every array/scalar in to_dict() survives the
+        # disk round-trip (incl. hmc_eps_scale — the adapted HMC step sizes)
+        d1, d2 = model.to_dict(), m2.to_dict()
+        for k in ("y", "order", "n_ingested", "t0", "t_scale", "y_mean",
+                  "y_std", "node_types", "params", "log_noise", "lml",
+                  "log_weight", "hmc_eps_scale", "key"):
+            np.testing.assert_allclose(
+                np.asarray(d1[k], dtype=np.float64),
+                np.asarray(d2[k], dtype=np.float64),
+                rtol=1e-6, atol=0, err_msg=f"field {k!r} not preserved")
+        assert d1["rng_state"] == d2["rng_state"]
         # config round-trips by value
         assert m2.config.node_dist_leaf == model.config.node_dist_leaf
         assert m2.config.prior == model.config.prior

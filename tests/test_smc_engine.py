@@ -95,6 +95,28 @@ class TestAddData:
         up_pred = ngp.predict_mvn(m2, test_dates).mean()
         assert up_pred[0] > base_pred[0]
 
+    def test_add_data_on_partially_ingested_model(self, small_model):
+        # add_data before full ingestion must splice the new rows into the
+        # ingestion order at n_ingested so the extended mask covers exactly
+        # the new block, not old not-yet-ingested shuffled rows
+        model, dates, obs = small_model
+        m2 = ngp.GPModel(model.to_dict())
+        # roll back to a partially-ingested state with a shuffled order
+        m2.n_ingested = 10
+        rng = np.random.default_rng(0)
+        m2._order = rng.permutation(len(m2.y)).astype(np.int64)
+        m2._push_data()
+        ingested_before = list(m2._order[:10])
+        n_old = len(m2.y)
+        new_dates = _dates(2, start=dates[-1] + dt.timedelta(weeks=1))
+        ngp.add_data(m2, new_dates, np.log(np.array([obs[-1], obs[-1]])))
+        assert m2.n_ingested == 12
+        # positions 10..11 of the ingestion order are exactly the new rows
+        np.testing.assert_array_equal(m2._order[10:12], [n_old, n_old + 1])
+        # previously-ingested prefix untouched; remaining rows preserved
+        assert list(m2._order[:10]) == ingested_before
+        assert sorted(m2._order) == list(range(n_old + 2))
+
     def test_maybe_resample(self, small_model):
         model, dates, obs = small_model
         m2 = ngp.GPModel(model.to_dict())

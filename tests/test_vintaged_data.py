@@ -55,6 +55,17 @@ class TestVintagedData:
         finals = v.final([dt.date(2024, 1, 1), dt.date(2024, 1, 8)])
         np.testing.assert_array_equal(finals, [120, 220])
 
+    def test_final_with_unsorted_report_order(self):
+        # rows arrive in arbitrary (here reversed) order: final() must use
+        # the MAX report date, not the last row
+        v = _make()
+        order = np.arange(len(v.values))[::-1]
+        shuffled = VintagedData(
+            v.reference_dates[order], v.report_dates[order], v.values[order]
+        )
+        finals = shuffled.final([dt.date(2024, 1, 1), dt.date(2024, 1, 8)])
+        np.testing.assert_array_equal(finals, [120, 220])
+
     def test_csv_round_trip(self, tmp_path):
         p = tmp_path / "vintage.csv"
         p.write_text(
