@@ -1,0 +1,75 @@
+"""CRPS acceptance run: the getting-started five-approach comparison.
+
+Executes the reference's acceptance workflow
+(``/root/reference/docs/vignettes/getting-started.jl:399-833``) through
+``nowcastautogp_tpu.eval.acceptance`` and prints the CRPS table + ratios vs
+the nowcast+HMC baseline.  The committed artifact from a full TPU run lives
+in ACCEPTANCE.md.
+
+Run:  python examples/acceptance.py [--full] [--report-dates N]
+(default is a reduced-budget run that finishes in minutes; ``--full`` uses
+the vignette's canonical budgets: n_particles=24, smc_data_proportion=0.1,
+n_mcmc=50, n_hmc=50, 2000 draws, 100 nowcast samples.)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+# runnable as a script from any cwd: put the repo root on sys.path
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+import json
+import time
+
+
+def run(full: bool = False, smoke: bool = False, n_report_dates: int = 4,
+        seed: int = 0):
+    from nowcastautogp_tpu.eval.acceptance import (
+        run_acceptance, synthetic_nhsn_vintage,
+    )
+
+    if full:
+        fit_kw = dict(n_particles=24, smc_data_proportion=0.1,
+                      n_mcmc=50, n_hmc=50)
+        n_forecasts, n_nowcast = 2000, 100
+        vintage = synthetic_nhsn_vintage(150, seed=seed)
+    elif smoke:
+        fit_kw = dict(n_particles=2, smc_data_proportion=0.34,
+                      n_mcmc=2, n_hmc=2)
+        n_forecasts, n_nowcast = 8, 4
+        vintage = synthetic_nhsn_vintage(40, seed=seed)
+        n_report_dates = 1
+    else:
+        fit_kw = dict(n_particles=8, smc_data_proportion=0.2,
+                      n_mcmc=8, n_hmc=4)
+        n_forecasts, n_nowcast = 200, 20
+        vintage = synthetic_nhsn_vintage(120, seed=seed)
+
+    rds = list(vintage.report_date_range())
+    lo = int(len(rds) * 0.6)
+    step = max((len(rds) - lo - 5) // max(n_report_dates, 1), 1)
+    report_dates = rds[lo:len(rds) - 5:step][:n_report_dates]
+
+    t0 = time.time()
+    res = run_acceptance(
+        vintage, report_dates=report_dates, n_forecasts=n_forecasts,
+        n_nowcast_samples=n_nowcast, seed=seed, verbose=True, **fit_kw,
+    )
+    res["wallclock_s"] = round(time.time() - t0, 1)
+    res["fit_kwargs"] = fit_kw
+    print(json.dumps({k: res[k] for k in
+                      ("scores", "ratios", "n_report_dates", "wallclock_s",
+                       "fit_kwargs")}, indent=2))
+    return res
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--full", action="store_true")
+    ap.add_argument("--smoke", action="store_true")
+    ap.add_argument("--report-dates", type=int, default=4)
+    args = ap.parse_args()
+    run(full=args.full, smoke=args.smoke, n_report_dates=args.report_dates)

@@ -24,6 +24,12 @@ import time
 
 import numpy as np
 
+import os
+import sys
+
+# runnable as a script from any cwd: put the repo root on sys.path
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import nowcastautogp_tpu as ngp
 
 
@@ -43,18 +49,21 @@ def simulate_vintaged_data(n_weeks=120, seed=0):
     return dates, final, provisional
 
 
-def run(full: bool = False, seed: int = 1):
+def run(full: bool = False, seed: int = 1, smoke: bool = False):
+    # smoke: tiny budgets at the test suite's shared compile shapes so the
+    # pipeline is exercised end-to-end by pytest (tests/test_examples.py)
     fit_kw = dict(
-        n_particles=24 if full else 4,
-        smc_data_proportion=0.1 if full else 0.25,
-        n_mcmc=50 if full else 3,
-        n_hmc=50 if full else 3,
+        n_particles=24 if full else (2 if smoke else 4),
+        smc_data_proportion=0.1 if full else (0.34 if smoke else 0.25),
+        n_mcmc=50 if full else (2 if smoke else 3),
+        n_hmc=50 if full else (2 if smoke else 3),
     )
-    n_nowcast_draws = 100 if full else 10
-    total_draws = 2000 if full else 100
+    n_nowcast_draws = 100 if full else (4 if smoke else 10)
+    total_draws = 2000 if full else (16 if smoke else 100)
     horizon = 4
-    dates, final, provisional = simulate_vintaged_data(seed=seed)
-    report_weeks = [90, 100, 110] if full else [100]
+    dates, final, provisional = simulate_vintaged_data(
+        n_weeks=40 if smoke else 120, seed=seed)
+    report_weeks = [90, 100, 110] if full else ([36] if smoke else [100])
 
     scores = {"naive": [], "leave_out_last": [], "nowcast": [], "nowcast_hmc": []}
     for w in report_weeks:

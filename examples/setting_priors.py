@@ -21,6 +21,12 @@ import json
 
 import numpy as np
 
+import os
+import sys
+
+# runnable as a script from any cwd: put the repo root on sys.path
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import nowcastautogp_tpu as ngp
 from nowcastautogp_tpu.models.config import default_prior
 
@@ -47,18 +53,18 @@ def lin_period_only(base: ngp.GPConfig) -> ngp.GPConfig:
     return base.replace(node_dist_leaf=[0.0, 0.5, 0.0, 0.0, 0.5])
 
 
-def run(full: bool = False):
+def run(full: bool = False, smoke: bool = False):
     fit_kw = dict(
-        n_particles=32 if full else 4,
-        smc_data_proportion=0.005 if full else 0.25,
-        n_mcmc=200 if full else 3,
-        n_hmc=50 if full else 3,
+        n_particles=32 if full else (2 if smoke else 4),
+        smc_data_proportion=0.005 if full else (0.34 if smoke else 0.25),
+        n_mcmc=200 if full else (2 if smoke else 3),
+        n_hmc=50 if full else (2 if smoke else 3),
         adaptive_rejuvenation=True,
     )
-    n_draws = 2000 if full else 100
-    horizon = 52 if full else 8
-    dates, truth, obs = simulate_seasonal()
-    report_weeks = [51, 77, 103] if full else [77]
+    n_draws = 2000 if full else (20 if smoke else 100)
+    horizon = 52 if full else (4 if smoke else 8)
+    dates, truth, obs = simulate_seasonal(n_weeks=44 if smoke else 156)
+    report_weeks = [51, 77, 103] if full else ([36] if smoke else [77])
 
     results = {}
     for w in report_weeks:

@@ -16,6 +16,12 @@ import datetime as dt
 
 import numpy as np
 
+import os
+import sys
+
+# runnable as a script from any cwd: put the repo root on sys.path
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import nowcastautogp_tpu as ngp
 
 
@@ -28,14 +34,14 @@ def simulate_percentages(n_weeks=104, seed=5):
     return dates, p
 
 
-def run(full: bool = False):
+def run(full: bool = False, smoke: bool = False):
     fit_kw = dict(
-        n_particles=24 if full else 4,
-        smc_data_proportion=0.1 if full else 0.25,
-        n_mcmc=100 if full else 3,
-        n_hmc=20 if full else 3,
+        n_particles=24 if full else (2 if smoke else 4),
+        smc_data_proportion=0.1 if full else (0.34 if smoke else 0.25),
+        n_mcmc=100 if full else (2 if smoke else 3),
+        n_hmc=20 if full else (2 if smoke else 3),
     )
-    dates, pct = simulate_percentages()
+    dates, pct = simulate_percentages(n_weeks=44 if smoke else 104)
     w = len(dates) - 4
     fwd, inv = ngp.get_transformations("percentage", pct[:w])
     data = ngp.create_transformed_data(dates[:w], pct[:w], transformation=fwd)
@@ -48,7 +54,8 @@ def run(full: bool = False):
     # nowcast the most recent (under-reported) week
     rng = np.random.default_rng(11)
     scenarios = np.clip(
-        pct[w - 1] * rng.lognormal(0.05, 0.02, size=(20, 1)), 0.01, 99.9
+        pct[w - 1] * rng.lognormal(0.05, 0.02, size=(4 if smoke else 20, 1)),
+        0.01, 99.9,
     )
     ncs = ngp.create_nowcast_data(list(scenarios), [dates[w - 1]],
                                   transformation=fwd)
@@ -57,7 +64,8 @@ def run(full: bool = False):
         ess_threshold=0.5,
     )
     assert np.all(fc_nc >= 0) and np.all(fc_nc <= 100)
-    qs = ngp.quantile_matrix(fc_nc, [0.25, 0.5, 0.75])
+    # on-device aggregation of the full draw tensor (north-star item)
+    qs = ngp.quantile_matrix_device(fc_nc, [0.25, 0.5, 0.75])
     print("nowcast forecast quantiles (25/50/75%):")
     print(np.round(qs, 2))
     print("truth:", np.round(pct[w:], 2))

@@ -17,7 +17,9 @@ Public surface (superset of the reference's exports,
 ``num_particles``, schedules) that the reference reaches through AutoGP.
 """
 
-from .eval.crps import crps_ensemble, crps_matrix, quantile_matrix
+from .eval.crps import (
+    crps_ensemble, crps_matrix, quantile_matrix, quantile_matrix_device,
+)
 from .fitting import make_and_fit_model
 from .forecasting import forecast
 from .inference.schedule import linear_schedule
@@ -48,6 +50,7 @@ __all__ = [
     "HMCConfig", "MvNormalMixture", "DEFAULT_DEPTH",
     # evaluation & observability & checkpointing
     "crps_ensemble", "crps_matrix", "quantile_matrix",
+    "quantile_matrix_device",
     "phase_report", "reset_phases", "device_trace",
     "save_model", "load_model",
     # vintaged-data workflow helpers

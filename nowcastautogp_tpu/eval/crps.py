@@ -11,7 +11,8 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["crps_ensemble", "crps_matrix", "quantile_matrix"]
+__all__ = ["crps_ensemble", "crps_matrix", "quantile_matrix",
+           "quantile_matrix_device"]
 
 
 def crps_ensemble(draws: np.ndarray, observation: float) -> float:
@@ -47,3 +48,21 @@ def quantile_matrix(forecasts: np.ndarray, qs) -> np.ndarray:
     ``docs/vignettes/getting-started.jl:432-436``)."""
     return np.quantile(np.asarray(forecasts, dtype=np.float64),
                        np.asarray(qs), axis=1)
+
+
+def quantile_matrix_device(forecasts, qs) -> np.ndarray:
+    """On-device per-row quantiles of a large ``(n_dates, n_draws)`` draw
+    tensor: one jitted sort-based program aggregates the full S*D ensemble
+    before any host transfer (the north star's "on-device quantile
+    aggregation into ensemble trajectories").  Matches ``np.quantile``'s
+    default linear interpolation."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def _q(fc, qv):
+        return jnp.quantile(fc, qv, axis=1)
+
+    fc = jnp.asarray(forecasts, jnp.float32)
+    out = _q(fc, jnp.asarray(np.asarray(qs, dtype=np.float32)))
+    return np.asarray(out, dtype=np.float64)

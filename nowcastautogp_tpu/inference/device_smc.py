@@ -25,32 +25,43 @@ import jax.numpy as jnp
 from ..models.structures_device import (
     ConfigArrays, device_prior_arrays, device_propose,
 )
-from ..ops.lml import DEFAULT_JITTER, gp_lml_impl
-from .hmc import _hmc_single
+from ..ops.lml import DEFAULT_JITTER, gp_lml_batched, gp_lml_impl
+from .hmc import _hmc_batched
 
 __all__ = ["rejuvenation_sweep", "smc_fit_device"]
 
 
-def _sweep_single(
+def _sweep_batched(
     types, params, log_noise, lml, x, y, mask, key, eps_scale,
     cfg: ConfigArrays, anc,
     n_mcmc, n_hmc, n_leapfrog, step_size, step_jitter, jitter,
     noise_mu, noise_sigma, infer_noise,
 ):
-    """n_mcmc involutive moves (each + n_hmc HMC trajectories), one particle."""
+    """n_mcmc involutive moves (each + n_hmc HMC trajectories), all particles.
+
+    Explicitly batched (vs the round-1 ``vmap(_sweep_single)``) so the LML
+    accept tests and HMC trajectories route through the batched Pallas
+    Cholesky core; proposals stay vmapped (cheap elementwise + RNG).
+    """
+    P = params.shape[0]
+    propose_v = jax.vmap(device_propose, in_axes=(0, 0, 0, None, None))
+    priors_v = jax.vmap(device_prior_arrays, in_axes=(0, None))
 
     def move(carry, key_m):
         types, params, log_noise, lml, scale = carry
         k_prop, k_acc, k_hmc = jax.random.split(key_m, 3)
-        t2, p2, log_h = device_propose(types, params, k_prop, cfg, anc)
-        lml2 = gp_lml_impl(t2, p2, log_noise, x, y, mask, jitter)
-        accept = jnp.log(jax.random.uniform(k_acc)) < (lml2 - lml + log_h)
-        types = jnp.where(accept, t2, types)
-        params = jnp.where(accept, p2, params)
+        prop_keys = jax.random.split(k_prop, P)
+        t2, p2, log_h = propose_v(types, params, prop_keys, cfg, anc)
+        lml2 = gp_lml_batched(t2, p2, log_noise, x, y, mask, jitter)
+        accept = jnp.log(jax.random.uniform(k_acc, (P,))) < (
+            lml2 - lml + log_h
+        )
+        types = jnp.where(accept[:, None], t2, types)
+        params = jnp.where(accept[:, None, None], p2, params)
         lml = jnp.where(accept, lml2, lml)
         if n_hmc > 0:
-            mu, sg, act = device_prior_arrays(types, cfg)
-            params, log_noise, lml, _, scale = _hmc_single(
+            mu, sg, act = priors_v(types, cfg)
+            params, log_noise, lml, _, scale = _hmc_batched(
                 types, params, log_noise, mu, sg, act, x, y, mask, k_hmc,
                 scale, n_hmc, n_leapfrog, step_size, step_jitter,
                 jitter, noise_mu, noise_sigma, infer_noise,
@@ -80,13 +91,11 @@ def rejuvenation_sweep(
 
     Returns (types, params, log_noise, lml, accept_rate, eps_scale)."""
     P = params.shape[0]
-    keys = jax.random.split(key, P)
     if eps_scale is None:
         eps_scale = jnp.ones(P, params.dtype)
-    return jax.vmap(
-        _sweep_single, in_axes=(0,) * 7 + (0, 0, None, None) + (None,) * 9
-    )(
-        types, params, log_noise, lml, x, y, mask, keys, eps_scale, cfg, anc,
+    mask_b = jnp.broadcast_to(mask, x.shape) if mask.ndim == 1 else mask
+    return _sweep_batched(
+        types, params, log_noise, lml, x, y, mask_b, key, eps_scale, cfg, anc,
         n_mcmc, n_hmc, n_leapfrog, step_size, step_jitter, jitter,
         noise_mu, noise_sigma, infer_noise,
     )
@@ -114,7 +123,6 @@ def smc_fit_device(
     resampled_per_step).
     """
     P = params.shape[0]
-    lml_v = jax.vmap(gp_lml_impl, in_axes=(0, 0, 0, 0, 0, 0, None))
 
     def step(carry, inp):
         types, params, log_noise, log_w, lml, eps_scale, key = carry
@@ -122,7 +130,8 @@ def smc_fit_device(
         key, k_res, k_sweep = jax.random.split(key, 3)
 
         # (1) reweight to this step's conditioning set
-        lml_new = lml_v(types, params, log_noise, x, y, mask_k, jitter)
+        lml_new = gp_lml_batched(types, params, log_noise, x, y, mask_k,
+                                 jitter)
         log_w = log_w + (lml_new - lml)
         lml = lml_new
 
@@ -146,12 +155,8 @@ def smc_fit_device(
         # (3) rejuvenation (always, or only on low ESS when adaptive)
         def sweep(args):
             t_, p_, ln_, l_, sc_ = args
-            keys = jax.random.split(k_sweep, P)
-            t_, p_, ln_, l_, acc, sc_ = jax.vmap(
-                _sweep_single,
-                in_axes=(0,) * 7 + (0, 0, None, None) + (None,) * 9,
-            )(
-                t_, p_, ln_, l_, xs_, ys_, mask_k, keys, sc_, cfg, anc,
+            t_, p_, ln_, l_, acc, sc_ = _sweep_batched(
+                t_, p_, ln_, l_, xs_, ys_, mask_k, k_sweep, sc_, cfg, anc,
                 n_mcmc, n_hmc, n_leapfrog, step_size, step_jitter, jitter,
                 noise_mu, noise_sigma, infer_noise,
             )

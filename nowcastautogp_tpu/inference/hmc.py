@@ -120,6 +120,91 @@ def _hmc_single(
     return p_f, ln_f, lml_f, jnp.mean(oks.astype(jnp.float32)), scale_f
 
 
+def _hmc_batched(
+    node_types, params, log_noise, prior_mu, prior_sigma, prior_active,
+    x, y, mask, key, eps_scale, n_steps, n_leapfrog, step_size, step_jitter,
+    jitter, noise_mu, noise_sigma, infer_noise,
+):
+    """Explicitly-batched HMC: all particle arrays carry the leading P axis.
+
+    Mathematically identical to ``vmap(_hmc_single)`` (per-particle LMLs,
+    momenta, accepts, and step-size adaptation are independent — the summed
+    potential decouples into per-particle gradients), but written batched so
+    the LML core sees the full particle axis and can dispatch to the Pallas
+    blocked-Cholesky kernel (``ops/pallas_chol.py``) instead of per-particle
+    vmapped programs.
+    """
+    from ..ops.lml import gp_lml_batched
+
+    P = params.shape[0]
+
+    def potential(p, ln):
+        lml = gp_lml_batched(node_types, p, ln, x, y, mask, jitter)
+        z = (p - prior_mu) / prior_sigma
+        lp = jnp.sum(
+            prior_active * (-0.5 * z * z - jnp.log(prior_sigma)), axis=(1, 2)
+        )
+        zn = (ln - noise_mu) / noise_sigma
+        lp = lp + infer_noise * (-0.5 * zn * zn)
+        U = -(lml + lp)
+        return U.sum(), (U, lml)
+
+    pot_and_grad = jax.grad(potential, argnums=(0, 1), has_aux=True)
+
+    def trajectory(carry, key_t):
+        p, ln, U, lml, scale = carry
+        k_eps, k_mom_p, k_mom_n, k_acc = jax.random.split(key_t, 4)
+        eps = step_size * scale * (
+            1.0 + step_jitter * (2.0 * jax.random.uniform(k_eps, (P,)) - 1.0)
+        )
+        eps3 = eps[:, None, None]
+        mom_p = jax.random.normal(k_mom_p, p.shape, p.dtype) * prior_active
+        mom_n = jax.random.normal(k_mom_n, (P,), ln.dtype) * infer_noise
+
+        (g_p, g_n), (U0, _) = pot_and_grad(p, ln)
+        K0 = 0.5 * (jnp.sum(mom_p * mom_p, axis=(1, 2)) + mom_n * mom_n)
+
+        def leapfrog(i, state):
+            p_, ln_, mp, mn, gp_, gn_ = state
+            mp = mp - 0.5 * eps3 * gp_ * prior_active
+            mn = mn - 0.5 * eps * gn_ * infer_noise
+            p_ = p_ + eps3 * mp * prior_active
+            ln_ = ln_ + eps * mn * infer_noise
+            (gp_, gn_), _ = pot_and_grad(p_, ln_)
+            mp = mp - 0.5 * eps3 * gp_ * prior_active
+            mn = mn - 0.5 * eps * gn_ * infer_noise
+            return (p_, ln_, mp, mn, gp_, gn_)
+
+        p1, ln1, mp1, mn1, _, _ = jax.lax.fori_loop(
+            0, n_leapfrog, leapfrog, (p, ln, mom_p, mom_n, g_p, g_n)
+        )
+        _, (U1, lml1) = pot_and_grad(p1, ln1)
+        K1 = 0.5 * (jnp.sum(mp1 * mp1, axis=(1, 2)) + mn1 * mn1)
+        dH = (U0 + K0) - (U1 + K1)
+        ok = jnp.isfinite(dH) & (
+            jnp.log(jax.random.uniform(k_acc, (P,))) < jnp.minimum(dH, 0.0)
+        )
+        p = jnp.where(ok[:, None, None], p1, p)
+        ln = jnp.where(ok, ln1, ln)
+        U = jnp.where(ok, U1, U0)
+        lml = jnp.where(ok, lml1, lml)
+        scale = jnp.clip(
+            scale * jnp.exp(
+                _ADAPT_RATE * (ok.astype(scale.dtype) - _TARGET_ACCEPT)
+            ),
+            _SCALE_BOUNDS[0], _SCALE_BOUNDS[1],
+        )
+        return (p, ln, U, lml, scale), ok
+
+    _, (U_init, lml_init) = pot_and_grad(params, log_noise)
+    keys = jax.random.split(key, n_steps)
+    (p_f, ln_f, _, lml_f, scale_f), oks = jax.lax.scan(
+        trajectory, (params, log_noise, U_init, lml_init, eps_scale), keys
+    )
+    return (p_f, ln_f, lml_f,
+            jnp.mean(oks.astype(jnp.float32), axis=0), scale_f)
+
+
 @partial(
     jax.jit,
     static_argnames=("n_steps", "n_leapfrog"),
@@ -137,15 +222,11 @@ def run_hmc(
     reweighting) and eps_scale the adapted per-particle step-size scales.
     """
     P = params.shape[0]
-    keys = jax.random.split(key, P)
     if eps_scale is None:
         eps_scale = jnp.ones(P, params.dtype)
-    return jax.vmap(
-        _hmc_single,
-        in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
-        + (None,) * 8,
-    )(
+    p, ln, lml, rate, scale = _hmc_batched(
         node_types, params, log_noise, prior_mu, prior_sigma, prior_active,
-        x, y, mask, keys, eps_scale, n_steps, n_leapfrog, step_size,
+        x, y, mask, key, eps_scale, n_steps, n_leapfrog, step_size,
         step_jitter, jitter, noise_mu, noise_sigma, infer_noise,
     )
+    return p, ln, lml, rate, scale

@@ -22,8 +22,8 @@ import numpy as np
 
 from ..models.config import GPConfig
 from ..models.structures import prior_arrays, propose_subtree_replace
-from ..ops.lml import DEFAULT_JITTER, gp_lml_impl
-from .hmc import _hmc_single
+from ..ops.lml import DEFAULT_JITTER, gp_lml_batched
+from .hmc import _hmc_batched
 
 __all__ = ["propose_batch", "structure_move_device", "mcmc_structure_sweep"]
 
@@ -69,7 +69,7 @@ def structure_move_device(
     P = params_old.shape[0]
     k_acc, k_hmc = jax.random.split(key)
 
-    lml_prop = jax.vmap(gp_lml_impl, in_axes=(0, 0, 0, 0, 0, 0, None))(
+    lml_prop = gp_lml_batched(
         types_prop, params_prop, log_noise, x, y, mask, jitter
     )
     logit = lml_prop - lml_old + log_hastings
@@ -83,11 +83,8 @@ def structure_move_device(
     lml = jnp.where(accept, lml_prop, lml_old)
 
     if n_hmc > 0:
-        keys = jax.random.split(k_hmc, P)
-        params, log_noise, lml, acc_rate, eps_scale = jax.vmap(
-            _hmc_single, in_axes=(0,) * 11 + (None,) * 8
-        )(
-            types, params, log_noise, mu, sigma, active, x, y, mask, keys,
+        params, log_noise, lml, acc_rate, eps_scale = _hmc_batched(
+            types, params, log_noise, mu, sigma, active, x, y, mask, k_hmc,
             eps_scale, n_hmc, n_leapfrog, step_size, step_jitter,
             jitter, noise_mu, noise_sigma, infer_noise,
         )

@@ -16,7 +16,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..inference.hmc import _hmc_single
+from ..inference.hmc import _hmc_batched
 from .lml import DEFAULT_JITTER, gp_predict_impl
 
 __all__ = ["forecast_hmc_scan", "nowcast_forecast_hmc_scan"]
@@ -40,7 +40,6 @@ def forecast_hmc_scan(
     """
     P = params.shape[0]
     m = xs.shape[0]
-    hmc_v = jax.vmap(_hmc_single, in_axes=(0,) * 11 + (None,) * 8)
     predict_v = jax.vmap(
         gp_predict_impl, in_axes=(0, 0, 0, 0, 0, 0, None, None, None)
     )
@@ -48,10 +47,9 @@ def forecast_hmc_scan(
     def draw(carry, key_d):
         params, log_noise, scale = carry
         k_hmc, k_comp, k_eps = jax.random.split(key_d, 3)
-        keys = jax.random.split(k_hmc, P)
-        params, log_noise, lml, _, scale = hmc_v(
+        params, log_noise, lml, _, scale = _hmc_batched(
             types, params, log_noise, prior_mu, prior_sigma, prior_active,
-            x, y, mask, keys, scale, n_hmc, n_leapfrog, step_size,
+            x, y, mask, k_hmc, scale, n_hmc, n_leapfrog, step_size,
             step_jitter, jitter, noise_mu, noise_sigma, infer_noise,
         )
         mu, cov = predict_v(
@@ -96,7 +94,6 @@ def nowcast_forecast_hmc_scan(
     R = params.shape[0]
     P = R // S
     m = xs.shape[0]
-    hmc_v = jax.vmap(_hmc_single, in_axes=(0,) * 11 + (None,) * 8)
     predict_v = jax.vmap(
         gp_predict_impl, in_axes=(0, 0, 0, 0, 0, 0, None, None, None)
     )
@@ -104,10 +101,9 @@ def nowcast_forecast_hmc_scan(
     def draw(carry, key_d):
         params, log_noise, scale = carry
         k_hmc, k_comp, k_eps = jax.random.split(key_d, 3)
-        keys = jax.random.split(k_hmc, R)
-        params, log_noise, lml, _, scale = hmc_v(
+        params, log_noise, lml, _, scale = _hmc_batched(
             types, params, log_noise, prior_mu, prior_sigma, prior_active,
-            x, y, mask, keys, scale, n_hmc, n_leapfrog, step_size,
+            x, y, mask, k_hmc, scale, n_hmc, n_leapfrog, step_size,
             step_jitter, jitter, noise_mu, noise_sigma, infer_noise,
         )
         mu, cov = predict_v(

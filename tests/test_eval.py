@@ -62,3 +62,12 @@ class TestQuantiles:
         assert q.shape == (3, 6)
         np.testing.assert_allclose(q[1], np.median(fc, axis=1))
         assert np.all(q[0] <= q[1]) and np.all(q[1] <= q[2])
+
+    def test_device_quantiles_match_host(self):
+        from nowcastautogp_tpu.eval.crps import quantile_matrix_device
+
+        rng = np.random.default_rng(9)
+        fc = rng.standard_normal((4, 2000)) * 5 + 2
+        q_host = quantile_matrix(fc, [0.05, 0.5, 0.95])
+        q_dev = quantile_matrix_device(fc, [0.05, 0.5, 0.95])
+        np.testing.assert_allclose(q_dev, q_host, atol=1e-4)

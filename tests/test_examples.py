@@ -1,0 +1,53 @@
+"""Execute the vignette-parity examples end-to-end (smoke budgets).
+
+The reference executes its vignettes at doc-build time
+(``/root/reference/docs/make_vignettes.jl:11-20``, ``execute=true``), making
+the canonical workflows acceptance runs; these tests give the examples the
+same status so API drift breaks loudly.
+"""
+
+import importlib.util
+import os
+import sys
+
+import numpy as np
+import pytest
+
+_EXAMPLES = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples")
+
+
+def _load(name):
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(_EXAMPLES, f"{name}.py"))
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+class TestExamplesRun:
+    def test_getting_started(self):
+        scores = _load("getting_started").run(smoke=True)
+        assert set(scores) == {"naive", "leave_out_last", "nowcast",
+                               "nowcast_hmc"}
+        assert all(np.isfinite(v) for v in scores.values())
+
+    def test_setting_priors(self):
+        summary = _load("setting_priors").run(smoke=True)
+        assert set(summary) == {"default", "lin_period", "seasonal",
+                                "seasonal_lin_period"}
+        assert all(np.isfinite(v) for v in summary.values())
+
+    def test_use_percentages(self):
+        qs = _load("use_percentages").run(smoke=True)
+        assert qs.shape[0] == 3
+        assert np.all(qs >= 0) and np.all(qs <= 100)
+
+    def test_acceptance_smoke(self):
+        res = _load("acceptance").run(smoke=True)
+        assert set(res["scores"]) == {
+            "naive", "leave_out_last", "nowcast", "nowcast_hmc",
+            "nowcast_forecast_hmc"}
+        assert all(np.isfinite(v) for v in res["scores"].values())
+        assert res["ratios"]["nowcast_hmc"] == 1.0

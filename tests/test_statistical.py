@@ -33,7 +33,7 @@ def periodic_fit():
     data = ngp.create_transformed_data(dates, np.exp(y), transformation=np.log)
     models = [
         ngp.make_and_fit_model(
-            data, n_particles=2, smc_data_proportion=0.34, n_mcmc=2, n_hmc=2,
+            data, n_particles=4, smc_data_proportion=0.34, n_mcmc=6, n_hmc=4,
             seed=3 + i,
         )
         for i in range(4)
@@ -59,10 +59,14 @@ class TestStructureRecovery:
 
     def test_forecast_tracks_oscillation(self, periodic_fit):
         models, dates, y, t = periodic_fit
-        model = models[0]
-        # forecast 8 steps; correlation with the continued clean signal
+        # forecast 8 steps; pool draws over the four independent fits (the
+        # pooled ensemble is the fixture's stand-in for one big ensemble —
+        # any single 2-particle fit can land in a bad mode)
         f_dates = _dates(8, start=dates[-1] + dt.timedelta(weeks=1))
-        fc = ngp.forecast(model, f_dates, 400, inv_transformation=lambda v: v)
+        fc = np.concatenate(
+            [ngp.forecast(m, f_dates, 100, inv_transformation=lambda v: v)
+             for m in models], axis=1,
+        )
         pred = np.median(fc, axis=1)
         tt = np.arange(len(t), len(t) + 8)
         truth = 1.5 * np.sin(2 * np.pi * tt / 16.0) + 0.03 * tt
