@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models.structures_device import (
-    ConfigArrays, device_prior_arrays, device_propose,
+    ConfigArrays, device_prior_arrays, device_propose_mixed,
 )
 from ..ops.lml import DEFAULT_JITTER, gp_lml_batched, gp_lml_impl
 from .hmc import _hmc_batched
@@ -44,7 +44,7 @@ def _sweep_batched(
     Cholesky core; proposals stay vmapped (cheap elementwise + RNG).
     """
     P = params.shape[0]
-    propose_v = jax.vmap(device_propose, in_axes=(0, 0, 0, None, None))
+    propose_v = jax.vmap(device_propose_mixed, in_axes=(0, 0, 0, None, None))
     priors_v = jax.vmap(device_prior_arrays, in_axes=(0, None))
 
     def move(carry, key_m):

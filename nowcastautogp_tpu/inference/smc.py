@@ -102,7 +102,16 @@ def fit_smc(
 
 def _fit_device(model, schedule, n_mcmc, n_hmc, hmc_cfg,
                 adaptive_rejuvenation, ess_fraction, verbose):
-    """One-device-call fit via ``smc_fit_device`` (mutates ``model``)."""
+    """Device-program fit via ``smc_fit_device`` (mutates ``model``).
+
+    Capacity bucketing: the masked fixed-capacity design pays O(cap^2)
+    covariance and O(cap^3) Cholesky cost regardless of how few points a
+    step has ingested, so the schedule is split into segments that run on
+    the smallest sufficient 64-multiple buffer (one compiled program per
+    (cap, n_steps) shape; early steps on a 150-week series cost ~1/9th of
+    full-capacity steps).  Masked LML is invariant to the trailing padding,
+    so weights/LML carry across segments unchanged.
+    """
     import jax.numpy as jnp
     import numpy as np
 
@@ -111,41 +120,66 @@ def _fit_device(model, schedule, n_mcmc, n_hmc, hmc_cfg,
     from .device_smc import smc_fit_device
 
     P = model.num_particles
-    cap = model._cap
-    iota = np.arange(cap)
-    masks = np.stack(
-        [(iota < n_k).astype(np.float32) for n_k in schedule]
-    )  # (K, cap)
-    masks_b = np.broadcast_to(masks[:, None, :], (len(schedule), P, cap))
+    cap_full = model._cap
     noise_mu, noise_sigma, infer = model.noise_prior
-    x, y, _ = model._batched_data()
+
+    # group consecutive schedule steps by the capacity they need
+    segments: list[tuple[int, list[int]]] = []
+    for n_k in schedule:
+        cap_k = min(cap_full, max(64, int(np.ceil(n_k / 64)) * 64))
+        if segments and segments[-1][0] == cap_k:
+            segments[-1][1].append(int(n_k))
+        else:
+            segments.append((cap_k, [int(n_k)]))
 
     t0 = time.time()
-    with phase("smc/device_fit"):
-        types, params, log_noise, log_w, lml, eps_scale, diag = smc_fit_device(
-            jnp.asarray(model._host_types), model._params_d,
-            model._log_noise_d,
-            jnp.asarray(model.log_weight.astype(np.float32)),
-            model._lml_d, model._eps_scale_d, x, y, jnp.asarray(masks_b),
-            model.next_key(), config_arrays(model.config),
-            jnp.asarray(ancestor_table(model.config.max_nodes)),
-            n_mcmc=n_mcmc, n_hmc=n_hmc, n_leapfrog=hmc_cfg.n_leapfrog,
-            step_size=hmc_cfg.step_size, step_jitter=hmc_cfg.step_size_jitter,
-            adaptive=bool(adaptive_rejuvenation), ess_frac=float(ess_fraction),
-            noise_mu=noise_mu, noise_sigma=noise_sigma, infer_noise=infer,
+    step_base = 0
+    x_full = model._x_d
+    y_full = model._y_d
+    for cap_seg, steps in segments:
+        iota = np.arange(cap_seg)
+        masks = np.stack(
+            [(iota < n_k).astype(np.float32) for n_k in steps]
         )
-        model._host_types = np.asarray(types)
-        model._params_d, model._log_noise_d, model._lml_d = params, log_noise, lml
-        model._eps_scale_d = eps_scale
-        model.log_weight = np.asarray(log_w, dtype=np.float64)
-        model.n_ingested = int(schedule[-1])
-    if verbose:
-        ess_steps, acc_steps, resampled = (np.asarray(d) for d in diag)
-        for i, n_k in enumerate(schedule):
-            logger.info(
-                "SMC step %d/%d: n=%d ESS=%.1f/%d resampled=%s "
-                "struct-accept=%.2f elapsed(total)=%.1fs",
-                i + 1, len(schedule), n_k, ess_steps[i], P,
-                bool(resampled[i]), acc_steps[i], time.time() - t0,
+        masks_b = np.broadcast_to(
+            masks[:, None, :], (len(steps), P, cap_seg)
+        )
+        x = jnp.broadcast_to(x_full[:cap_seg], (P, cap_seg))
+        y = jnp.broadcast_to(y_full[:cap_seg], (P, cap_seg))
+        with phase("smc/device_fit"):
+            (types, params, log_noise, log_w, lml, eps_scale,
+             diag) = smc_fit_device(
+                jnp.asarray(model._host_types), model._params_d,
+                model._log_noise_d,
+                jnp.asarray(model.log_weight.astype(np.float32)),
+                model._lml_d, model._eps_scale_d, x, y,
+                jnp.asarray(masks_b),
+                model.next_key(), config_arrays(model.config),
+                jnp.asarray(ancestor_table(model.config.max_nodes)),
+                n_mcmc=n_mcmc, n_hmc=n_hmc, n_leapfrog=hmc_cfg.n_leapfrog,
+                step_size=hmc_cfg.step_size,
+                step_jitter=hmc_cfg.step_size_jitter,
+                adaptive=bool(adaptive_rejuvenation),
+                ess_frac=float(ess_fraction),
+                noise_mu=noise_mu, noise_sigma=noise_sigma,
+                infer_noise=infer,
             )
+            model._host_types = np.asarray(types)
+            model._params_d = params
+            model._log_noise_d = log_noise
+            model._lml_d = lml
+            model._eps_scale_d = eps_scale
+            model.log_weight = np.asarray(log_w, dtype=np.float64)
+            model.n_ingested = int(steps[-1])
+        if verbose:
+            ess_steps, acc_steps, resampled = (np.asarray(d) for d in diag)
+            for i, n_k in enumerate(steps):
+                logger.info(
+                    "SMC step %d/%d: n=%d cap=%d ESS=%.1f/%d resampled=%s "
+                    "struct-accept=%.2f elapsed(total)=%.1fs",
+                    step_base + i + 1, len(schedule), n_k, cap_seg,
+                    ess_steps[i], P, bool(resampled[i]), acc_steps[i],
+                    time.time() - t0,
+                )
+        step_base += len(steps)
     return model

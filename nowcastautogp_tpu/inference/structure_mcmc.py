@@ -21,7 +21,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.config import GPConfig
-from ..models.structures import prior_arrays, propose_subtree_replace
+from ..models.structures import (
+    prior_arrays, propose_leaf_swap, propose_subtree_replace,
+)
 from ..ops.lml import DEFAULT_JITTER, gp_lml_batched
 from .hmc import _hmc_batched
 
@@ -41,7 +43,11 @@ def propose_batch(rng: np.random.Generator, node_types: np.ndarray,
     new_params = np.empty_like(params)
     log_h = np.empty(P, dtype=np.float32)
     for i in range(P):
-        t2, p2, lh = propose_subtree_replace(rng, node_types[i], params[i], config)
+        # random scan over the two involutive move types (leaf-type swap /
+        # subtree regeneration), matching the device path
+        move = propose_leaf_swap if rng.random() < 0.5 else \
+            propose_subtree_replace
+        t2, p2, lh = move(rng, node_types[i], params[i], config)
         new_types[i] = t2
         new_params[i] = p2
         log_h[i] = lh

@@ -32,7 +32,8 @@ __all__ = [
     "N_PARAM_SLOTS", "LEAF_TYPES", "BINARY_TYPES",
     "sample_structure", "sample_params_for_subtree", "sample_particle",
     "log_prior_structure", "count_nodes", "param_slot_kinds", "prior_arrays",
-    "subtree_slots", "propose_subtree_replace", "structure_to_str",
+    "subtree_slots", "propose_subtree_replace", "propose_leaf_swap",
+    "structure_to_str",
 ]
 
 # Node type codes. Leaf codes 1..5 match the reference's documented leaf
@@ -228,6 +229,30 @@ def propose_subtree_replace(
     )
     log_hastings = float(np.log(count_nodes(node_types)) - np.log(count_nodes(new_types)))
     return new_types, new_params, log_hastings
+
+
+def propose_leaf_swap(
+    rng: np.random.Generator, node_types: np.ndarray, params: np.ndarray,
+    config: GPConfig,
+):
+    """Leaf-type swap: resample one leaf's kernel type + params from the prior.
+
+    Second involutive move alongside subtree regeneration (the engine's
+    ``mcmc_structure!`` mixes several move types; regenerate-only samplers
+    mix slowly on deep trees).  The proposal picks a leaf uniformly,
+    redraws its type from ``node_dist_leaf`` and its params from their
+    priors; because type and params are proposed exactly from their prior
+    conditionals and the reverse move is symmetric, every prior/proposal
+    term cancels and the Hastings correction is 0 (acceptance = LML ratio).
+    """
+    leaves = np.flatnonzero(np.isin(node_types, LEAF_TYPES))
+    v = int(rng.choice(leaves))
+    new_types = node_types.copy()
+    new_params = params.copy()
+    new_types[v] = _sample_leaf(rng, config)
+    new_params[v] = 0.0
+    sample_params_for_subtree(rng, new_types, config, [v], new_params)
+    return new_types, new_params, 0.0
 
 
 def structure_to_str(node_types: np.ndarray, root: int = 0) -> str:

@@ -29,7 +29,8 @@ from .structures import CP, EMPTY, GE, PERIODIC, PLUS, TIMES
 
 __all__ = [
     "ConfigArrays", "config_arrays", "ancestor_table",
-    "device_prior_arrays", "device_propose",
+    "device_prior_arrays", "device_propose", "device_propose_leaf",
+    "device_propose_mixed",
 ]
 
 
@@ -173,6 +174,55 @@ def device_propose(types, params, key, cfg: ConfigArrays, anc):
         n_new.astype(jnp.float32)
     )
     return new_types, new_params, log_hastings
+
+
+def device_propose_leaf(types, params, key, cfg: ConfigArrays):
+    """Leaf-type-swap proposal for a single particle, on device.
+
+    Mirror of ``structures.propose_leaf_swap``: pick a leaf uniformly,
+    redraw its type from ``node_dist_leaf`` and its params from the prior.
+    Prior and proposal densities cancel exactly, so log_hastings = 0.
+    """
+    N = types.shape[0]
+    k_pick, k_type, k_params = jax.random.split(key, 3)
+    from .structures import CONST
+
+    is_leaf = (types >= CONST) & (types <= PERIODIC)
+    pick_logits = jnp.where(is_leaf, 0.0, -jnp.inf)
+    v = jax.random.categorical(k_pick, pick_logits)
+    new_leaf = (1 + jax.random.categorical(k_type, cfg.leaf_logits)).astype(
+        types.dtype)
+    at_v = (jnp.arange(N) == v)
+    new_types = jnp.where(at_v, new_leaf, types)
+
+    mu, sigma, active = device_prior_arrays(new_types, cfg)
+    eps = jax.random.normal(k_params, params.shape, params.dtype)
+    drawn = mu + sigma * eps
+    regen = at_v[:, None] & (active > 0)
+    new_params = jnp.where(
+        regen, drawn, jnp.where(at_v[:, None], 0.0, params)
+    )
+    return new_types, new_params, jnp.float32(0.0)
+
+
+def device_propose_mixed(types, params, key, cfg: ConfigArrays, anc,
+                         p_leaf_swap: float = 0.5):
+    """Random-scan mixture of the two involutive moves (one particle).
+
+    With probability ``p_leaf_swap`` propose a leaf-type swap, else a
+    subtree regeneration — a random scan over valid MH kernels keeps the
+    posterior invariant, and mixing move types mixes deep trees faster
+    than regeneration alone (the engine's ``mcmc_structure!`` likewise
+    mixes several involutive move types).
+    """
+    k_choice, k_a, k_b = jax.random.split(key, 3)
+    use_leaf = jax.random.uniform(k_choice) < p_leaf_swap
+    t1, p1, h1 = device_propose(types, params, k_a, cfg, anc)
+    t2, p2, h2 = device_propose_leaf(types, params, k_b, cfg)
+    new_types = jnp.where(use_leaf, t2, t1)
+    new_params = jnp.where(use_leaf, p2, p1)
+    log_h = jnp.where(use_leaf, h2, h1)
+    return new_types, new_params, log_h
 
 
 def config_arrays(config: GPConfig) -> ConfigArrays:

@@ -65,12 +65,12 @@ def _chunk_for(n: int, p: int, bufs: float) -> int:
     inverse ~6.7: in+out+scratch + fori carries); the budget stays under
     the raised 32 MB scoped-vmem limit with headroom.
     """
-    budget = max(8, int(26e6 // (bufs * n * n * 4)) // 8 * 8)
+    budget = max(16, int(26e6 // (bufs * n * n * 4)) // 8 * 8)
     if p <= budget:
         return p
-    # prefer the least padding among chunks in [budget/2, budget]
+    # prefer the least padding among chunks in [max(budget/2, 16), budget]
     best, best_pad = budget, (-p) % budget
-    for c in range(budget, max(budget // 2 - 1, 7), -8):
+    for c in range(budget, max(budget // 2, 16) - 1, -8):
         pad = (-p) % c
         if pad < best_pad:
             best, best_pad = c, pad
@@ -165,25 +165,40 @@ def _bwd_sub_block(Lb, r):
     return jax.lax.fori_loop(0, b, body, jnp.zeros_like(r))
 
 
+_UNROLL = 1  # >1 crashes the Mosaic compile at n=192 (see PLAN.md)
+
+
 def _rank_b_downdate(T, X):
-    """T - X X^T via a fori over the b rank-1 terms: T (C, r, r), X (C, r, b)."""
+    """T - X X^T: fori over b/_UNROLL chunks of rank-1 terms.
+
+    One rank-1 term per fori body re-reads and re-writes the whole trailing
+    matrix each iteration (measured 17 ms fwd vs XLA's 12 at P=200/n=192);
+    unrolling _UNROLL terms inside the body amortizes that traffic.
+    """
     b = X.shape[-1]
 
-    def body(k, T):
-        xk = _col_j(X, k)                                       # (C, r)
-        return T - xk[:, :, None] * xk[:, None, :]
+    def body(i, T):
+        base = i * _UNROLL
+        for d in range(_UNROLL):
+            xk = _col_j(X, base + d)                            # (C, r)
+            T = T - xk[:, :, None] * xk[:, None, :]
+        return T
 
-    return jax.lax.fori_loop(0, b, body, T)
+    return jax.lax.fori_loop(0, b // _UNROLL, body, T)
 
 
 def _push_down(R, L_panel, Xb):
-    """R - L_panel @ Xb via a fori over b terms: (C,r,b) @ (C,b,n)."""
+    """R - L_panel @ Xb, _UNROLL rank-1 terms per fori body."""
     b = L_panel.shape[-1]
 
-    def body(k, R):
-        return R - _col_j(L_panel, k)[:, :, None] * _row_j(Xb, k)[:, None, :]
+    def body(i, R):
+        base = i * _UNROLL
+        for d in range(_UNROLL):
+            R = R - (_col_j(L_panel, base + d)[:, :, None]
+                     * _row_j(Xb, base + d)[:, None, :])
+        return R
 
-    return jax.lax.fori_loop(0, b, body, R)
+    return jax.lax.fori_loop(0, b // _UNROLL, body, R)
 
 
 def _chol_solve_kernel(K_ref, ym_ref, L_ref, alpha_ref):
@@ -343,7 +358,7 @@ def chol_solve_batched(K, ym):
 def chol_inverse_batched(L):
     """Batched K^{-1} from Cholesky factors L (P, n, n)."""
     P, n, _ = L.shape
-    C = _chunk_for(n, P, bufs=8.0)
+    C = _chunk_for(n, P, bufs=6.8)
     (L_p,), Pp = _pad_particles(((L, 0.0),), P, C)
     if Pp != P:
         eye = jnp.eye(n, dtype=L.dtype)
