@@ -36,20 +36,19 @@ def _series(n: int, seed: int = 0):
     return dates, obs
 
 
-def run(n_particles=200, n_train=150, n_mcmc=8, n_hmc=2,
+def run(n_particles=200, n_train=150, n_mcmc=10, n_hmc=3,
         n_scenarios=100, draws_per=20, horizon=4, seed=1, verbose=False):
     import datetime as dt
 
     import nowcastautogp_tpu as ngp
 
-    dates, obs = _series(n_train + 2, seed)
+    dates, obs = _series(n_train + 2 + horizon, seed)
     train_dates, train_obs = dates[:n_train], obs[:n_train]
     fwd, inv = ngp.get_transformations("boxcox", train_obs)
     data = ngp.create_transformed_data(train_dates, train_obs, transformation=fwd)
 
-    # depth-4 heap (15 node slots) halves interpreter cost; structures beyond
-    # 15 nodes are never visited on these series
-    config = ngp.GPConfig(max_depth=4)
+    # depth-5 heap (31 node slots) — the engine's full structure depth
+    config = ngp.GPConfig(max_depth=5)
     t0 = time.time()
     model = ngp.make_and_fit_model(
         data, n_particles=n_particles, smc_data_proportion=0.1,
@@ -75,7 +74,16 @@ def run(n_particles=200, n_train=150, n_mcmc=8, n_hmc=2,
     fc_s = time.time() - t0
     assert fc.shape == (horizon, n_scenarios * draws_per)
     assert np.all(np.isfinite(fc)) and np.all(fc >= 0)
-    return fit_s, fc_s, fc
+
+    # quality gate: log-scale CRPS + 90% interval coverage on the held-out
+    # truth, so perf tuning can't silently trade away calibration
+    truth = obs[n_train + 2:n_train + 2 + horizon]
+    crps = float(ngp.crps_matrix(
+        np.log(np.maximum(fc, 1e-9)), np.log(truth)).mean())
+    q = ngp.quantile_matrix_device(fc, [0.05, 0.95])
+    cover90 = float(np.mean((truth >= q[0]) & (truth <= q[1])))
+    return fit_s, fc_s, fc, {"log_crps": round(crps, 4),
+                             "coverage90": round(cover90, 3)}
 
 
 def main():
@@ -89,7 +97,7 @@ def main():
     # this cheap on repeat bench invocations.
     run(seed=1)
 
-    fit_s, fc_s, fc = run(seed=2)
+    fit_s, fc_s, fc, quality = run(seed=2)
     total = fit_s + fc_s
     target = 60.0
     print(json.dumps({
@@ -98,7 +106,8 @@ def main():
         "unit": "s",
         "vs_baseline": round(target / total, 3),
         "detail": {"fit_s": round(fit_s, 2), "nowcast_forecast_s": round(fc_s, 2),
-                    "target_s": target},
+                    "target_s": target, "n_mcmc": 10, "n_hmc": 3,
+                    "max_depth": 5, **quality},
     }))
 
 

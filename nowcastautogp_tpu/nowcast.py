@@ -126,8 +126,10 @@ def forecast_with_nowcasts(
     P = base_model.num_particles
     cap_est = max(base_model._cap, 64)
     deepest = (base_model.config.max_nodes + 1) // 2
-    bytes_per_row = deepest * cap_est * cap_est * 4
-    chunk = int(np.clip(1.2e9 // max(P * bytes_per_row, 1), 1, S))
+    # peak live set is ~2 level buffers (XLA frees the rest between levels);
+    # v5e has 16 GB HBM — budget 4 GB of interpreter intermediates per chunk
+    bytes_per_row = 2 * deepest * cap_est * cap_est * 4
+    chunk = int(np.clip(4e9 // max(P * bytes_per_row, 1), 1, S))
     if chunk >= S:
         return _forecast_with_nowcasts_batched(
             base_model, nowcasts, forecast_dates,
