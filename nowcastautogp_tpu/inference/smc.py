@@ -30,6 +30,11 @@ __all__ = ["fit_smc"]
 
 logger = logging.getLogger("nowcastautogp_tpu")
 
+# Work budget per device call, in masked-LML-evaluation equivalents (a grad
+# counts ~2).  Chosen so one call stays ~10 s even at P=200 full capacity —
+# far below the TPU worker's execution watchdog.
+_MAX_CALL_UNITS = 350
+
 
 def fit_smc(
     model, *, schedule, n_mcmc, n_hmc,
@@ -68,11 +73,26 @@ def fit_smc(
         model._push_data()
 
     schedule = [s for s in schedule if s > model.n_ingested]
-    if engine == "device" and not biased and schedule:
+    if biased and engine == "device":
+        logger.warning(
+            "biased=True (multinomial resampling) runs on the host engine — "
+            "a different performance class than the default one-program "
+            "device fit."
+        )
+    # work per structure move in LML-grad equivalents; a single device call
+    # must stay well under the TPU worker's execution watchdog (a fused
+    # 50x50 canonical sweep in one program crashed the worker), so large
+    # budgets run per-step with move-chunked rejuvenation sweeps
+    units_per_move = 1 + n_hmc * (hmc_cfg.n_leapfrog + 1) * 2
+    per_step_units = max(n_mcmc, 1) * units_per_move
+    fused_ok = (per_step_units <= _MAX_CALL_UNITS
+                and len(schedule) * per_step_units <= 8 * _MAX_CALL_UNITS)
+    if engine == "device" and not biased and schedule and fused_ok:
         return _fit_device(
             model, schedule, n_mcmc, n_hmc, hmc_cfg,
             adaptive_rejuvenation, ess_fraction, verbose,
         )
+    chunk_m = max(1, _MAX_CALL_UNITS // units_per_move)
     t_start = time.time()
     for step_i, n_k in enumerate(schedule):
         with phase("smc/reweight"):
@@ -87,7 +107,15 @@ def fit_smc(
         if do_rejuvenate:
             with phase("smc/rejuvenate"):
                 if n_mcmc > 0:
-                    acc = model.rejuvenate(n_mcmc, n_hmc, hmc_cfg)
+                    accs, left = [], n_mcmc
+                    while left > 0:
+                        m = min(chunk_m, left)
+                        accs.append(model.rejuvenate(m, n_hmc, hmc_cfg,
+                                                     engine=engine))
+                        left -= m
+                    import numpy as _np
+
+                    acc = float(_np.mean(accs))
                 elif n_hmc > 0:
                     acc = model.hmc_only(n_hmc, hmc_cfg)
         if verbose:
