@@ -74,6 +74,34 @@ class TestStructureRecovery:
         assert corr > 0.5, (pred, truth)
 
 
+class TestDeepStructureRecovery:
+    def test_times_composite_recovered(self):
+        # amplitude-growing oscillation — the signature of a
+        # Times(Linear, Periodic) composite; the mixed two-move sampler
+        # should place most posterior mass on structures containing both
+        rng = np.random.default_rng(7)
+        n = 72
+        t = np.arange(n)
+        y = (0.5 + 0.03 * t) * np.sin(2 * np.pi * t / 12.0) + 2.0 + 0.01 * t
+        y += 0.1 * rng.standard_normal(n)
+        dates = _dates(n)
+        data = ngp.create_transformed_data(dates, np.exp(y),
+                                           transformation=np.log)
+        num = den = 0.0
+        for s in range(4):
+            m = ngp.make_and_fit_model(
+                data, n_particles=6, smc_data_proportion=0.34, n_mcmc=12,
+                n_hmc=4, seed=100 + s)
+            w = np.exp(m.log_weight - m.log_weight.max())
+            w /= w.sum()
+            has_both = np.array(
+                [np.any(tt == PERIODIC) and np.any(tt == LINEAR)
+                 for tt in m._host_types], dtype=float)
+            num += (w * has_both).sum()
+            den += 1.0
+        assert num / den > 0.5, [mm for mm in (num, den)]
+
+
 class TestCalibration:
     def test_interval_coverage_on_heldout(self):
         rng = np.random.default_rng(123)
