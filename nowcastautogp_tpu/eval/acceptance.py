@@ -50,11 +50,14 @@ def synthetic_nhsn_vintage(n_weeks: int = 150, seed: int = 0,
     """
     rng = np.random.default_rng(seed)
     t = np.arange(n_weeks)
+    # low process noise: hospitalization counts are smooth week to week, so
+    # the (under-reported) most recent point is genuinely load-bearing for
+    # the forecast — the regime where the vignette's naive approach fails
     truth = 800 * np.exp(
         0.35 * np.sin(2 * np.pi * t / 52)
         + 0.25 * np.sin(2 * np.pi * t / 26 + 1.0)
         - 0.003 * t
-        + 0.08 * rng.standard_normal(n_weeks)
+        + 0.03 * rng.standard_normal(n_weeks)
     )
     final = np.maximum(truth, 1.0)
     dates = [start + _dt.timedelta(weeks=int(i)) for i in range(n_weeks)]

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import copy
 import logging
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -96,6 +97,13 @@ def forecast_with_nowcasts(
     requires ``n_hmc > 0``; ``0 <= ess_threshold <= 1`` (a *fraction* of the
     ensemble); ``forecast_n_hmc`` (if given) must be positive and controls HMC
     only during forecasting.  The base model is never mutated.
+
+    With no particle refresh (all of ``n_mcmc``/``n_hmc``/``forecast_n_hmc``
+    off) the shared-date path runs per-PARTICLE shared-Cholesky linear
+    algebra and samples mixture components directly from the per-scenario
+    importance weights — distributionally identical to resample-then-draw
+    (resampling is unbiased), so ``ess_threshold`` has no effect on the
+    sampled mixture there.
     """
     nowcasts = list(nowcasts)
     assert len(nowcasts) > 0, "nowcasts vector must not be empty"
@@ -116,6 +124,18 @@ def forecast_with_nowcasts(
         return _forecast_with_nowcasts_serial(
             base_model, nowcasts, forecast_dates,
             int(forecast_draws_per_nowcast), **kw,
+        )
+
+    if n_mcmc == 0 and n_hmc == 0 and forecast_n_hmc is None:
+        # no particle refresh: the kernel matrix depends only on the shared
+        # time axis, so the covariance/Cholesky/predictive-cov are computed
+        # ONCE PER PARTICLE and reused across all scenarios (only the target
+        # vector differs) — ~S-fold less linear algebra than the flattened
+        # scenario x particle path
+        return _forecast_with_nowcasts_shared_chol(
+            base_model, nowcasts, forecast_dates,
+            int(forecast_draws_per_nowcast),
+            inv_transformation=inv_transformation, verbose=verbose,
         )
 
     # HBM budget: the flattened scenario x particle batch materializes
@@ -180,6 +200,127 @@ def _forecast_with_nowcasts_serial(
         if verbose:
             logger.info("Nowcast scenario %d/%d done", i + 1, len(nowcasts))
     return np.concatenate(blocks, axis=1)
+
+
+@partial(jax.jit, static_argnames=("n_draws",))
+def _shared_chol_device(types, params, log_noise, x, y_scen, mask_old,
+                        mask_new, base_logw, xs, key, *, n_draws,
+                        jitter=DEFAULT_JITTER):
+    """No-refresh nowcast forecasting with per-PARTICLE linear algebra.
+
+    x (cap,) shared; y_scen (S, cap) differs only in the nowcast block.
+    One Cholesky + one predictive covariance per particle; the S scenario
+    targets ride as extra right-hand sides.  Returns samples (m, S*n_draws)
+    grouped by scenario.
+    """
+    from .ops.kernels import cov_fn as _cov
+    from .ops.lml import LOG_2PI, masked_kernel_matrix
+
+    P = params.shape[0]
+    S = y_scen.shape[0]
+    m = xs.shape[0]
+
+    K = jax.vmap(masked_kernel_matrix, in_axes=(0, 0, 0, None, None, None))(
+        types, params, log_noise, x, mask_new, jitter)
+    L = jnp.linalg.cholesky(K)                                  # (P, cap, cap)
+    ym = y_scen * mask_new[None, :]                             # (S, cap)
+    rhs = jnp.broadcast_to(ym.T[None], (P,) + ym.T.shape)       # (P, cap, S)
+    alpha = jax.vmap(lambda L, b: jax.scipy.linalg.cho_solve((L, True), b))(
+        L, rhs)                                                 # (P, cap, S)
+    quad = jnp.einsum("sc,pcs->ps", ym, alpha)
+    logdet = 2.0 * jnp.sum(
+        jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)  # (P,)
+    n_act = jnp.sum(mask_new)
+    lml_new = -0.5 * (quad + logdet[:, None] + n_act * LOG_2PI)  # (P, S)
+    lml_new = jnp.where(jnp.isfinite(lml_new), lml_new, -1e10)
+
+    # old-data LML: the conditioning set below mask_old is scenario-invariant
+    ym_old = y_scen[0] * mask_old
+    K_old = jax.vmap(masked_kernel_matrix, in_axes=(0, 0, 0, None, None, None))(
+        types, params, log_noise, x, mask_old, jitter)
+    L_old = jnp.linalg.cholesky(K_old)
+    a_old = jax.vmap(lambda L, b: jax.scipy.linalg.cho_solve((L, True), b),
+                     in_axes=(0, None))(L_old, ym_old)
+    lml_old = -0.5 * (
+        jnp.einsum("c,pc->p", ym_old, a_old)
+        + 2.0 * jnp.sum(jnp.log(jnp.diagonal(L_old, axis1=-2, axis2=-1)), -1)
+        + jnp.sum(mask_old) * LOG_2PI)
+    lml_old = jnp.where(jnp.isfinite(lml_old), lml_old, -1e10)
+
+    log_w = base_logw[None, :] + lml_new.T - lml_old[None, :]   # (S, P)
+
+    # predictive: covariance shared per particle, means per scenario
+    Ks = jax.vmap(_cov, in_axes=(0, 0, None, None))(types, params, x, xs)
+    Ks = Ks * mask_new[None, :, None]                           # (P, cap, m)
+    Kss = jax.vmap(_cov, in_axes=(0, 0, None, None))(types, params, xs, xs)
+    V = jax.vmap(
+        lambda L, B: jax.scipy.linalg.solve_triangular(L, B, lower=True)
+    )(L, Ks)                                                    # (P, cap, m)
+    noise = jnp.exp(log_noise)[:, None, None]
+    cov = (Kss - jnp.einsum("pcm,pcn->pmn", V, V)
+           + (noise + jitter) * jnp.eye(m)[None])
+    chol_pred = jnp.linalg.cholesky(
+        cov + 1e-8 * jnp.eye(m, dtype=cov.dtype)[None])
+    mu = jnp.einsum("pcm,pcs->pms", Ks, alpha)                  # (P, m, S)
+
+    k_comp, k_eps = jax.random.split(key)
+    comps = jax.random.categorical(
+        k_comp, log_w, axis=-1, shape=(n_draws, S)).T            # (S, D)
+    s_idx = jnp.repeat(jnp.arange(S), n_draws)                   # (S*D,)
+    c_flat = comps.reshape(-1)                                   # (S*D,)
+    eps = jax.random.normal(k_eps, (S * n_draws, m), mu.dtype)
+    samples = (mu[c_flat, :, s_idx]
+               + jnp.einsum("rij,rj->ri", chol_pred[c_flat], eps))
+    return samples.T                                             # (m, S*D)
+
+
+def _forecast_with_nowcasts_shared_chol(
+    base_model, nowcasts, forecast_dates, draws_per_nowcast, *,
+    inv_transformation, verbose,
+):
+    """Host wrapper for the per-particle shared-Cholesky nowcast path.
+
+    Equivalent in distribution to the flattened scenario x particle path
+    with ``ess_threshold`` resampling: drawing mixture components directly
+    from the per-scenario importance weights samples the same mixture the
+    reference's resample-then-draw does (resampling is unbiased).
+    """
+    S = len(nowcasts)
+    n0 = base_model.n_ingested
+    nc_ds = nowcasts[0].ds
+    m_nc = len(nc_ds)
+    x_nc = base_model._normalize_dates(nc_ds)
+    n_new = n0 + m_nc
+    cap = max(base_model._cap, int(np.ceil(n_new / 64)) * 64)
+
+    x_row = np.zeros(cap, dtype=np.float32)
+    x_row[:n0] = np.asarray(base_model._x_d)[:n0]
+    x_row[n0:n_new] = x_nc
+    y_rows = np.zeros((S, cap), dtype=np.float32)
+    y_rows[:, :n0] = np.asarray(base_model._y_d)[:n0]
+    for s, nc in enumerate(nowcasts):
+        y_rows[s, n0:n_new] = (
+            np.asarray(nc.y, dtype=np.float64) - base_model._y_mean
+        ) / base_model._y_std
+    mask_old = (np.arange(cap) < n0).astype(np.float32)
+    mask_new = (np.arange(cap) < n_new).astype(np.float32)
+    xs = jnp.asarray(
+        base_model._normalize_dates(list(forecast_dates)), jnp.float32)
+
+    samples = _shared_chol_device(
+        jnp.asarray(base_model._host_types), base_model._params_d,
+        base_model._log_noise_d, jnp.asarray(x_row), jnp.asarray(y_rows),
+        jnp.asarray(mask_old), jnp.asarray(mask_new),
+        jnp.asarray(base_model.log_weight.astype(np.float32)),
+        xs, base_model.next_key(), n_draws=int(draws_per_nowcast),
+    )
+    out = np.asarray(samples, dtype=np.float64)
+    out = base_model._y_mean + base_model._y_std * out
+    if verbose:
+        logger.info(
+            "Shared-Cholesky nowcast forecast: %d scenarios x %d draws",
+            S, draws_per_nowcast)
+    return apply_elementwise(inv_transformation, out)
 
 
 def _forecast_with_nowcasts_batched(

@@ -165,6 +165,24 @@ class TestForecastWithNowcasts:
         mb, ms = np.median(fb), np.median(fs)
         assert abs(np.log(mb / ms)) < 0.35  # same distribution, loose check
 
+    def test_shared_chol_matches_serial_distribution(self, base):
+        # the no-refresh public path routes through the per-particle
+        # shared-Cholesky program; it must sample the same mixture as the
+        # reference-shaped serial path
+        model, fwd, inv, obs, nc_dates, f_dates = base
+        ncs = self._scenarios(base, 3)
+        from nowcastautogp_tpu.nowcast import _forecast_with_nowcasts_serial
+
+        fb = ngp.forecast_with_nowcasts(
+            model, ncs, f_dates, 60, inv_transformation=inv,
+            ess_threshold=0.5)
+        fs = _forecast_with_nowcasts_serial(
+            model, ncs, f_dates, 60, inv_transformation=inv, n_mcmc=0,
+            n_hmc=0, ess_threshold=0.5, forecast_n_hmc=None, verbose=False)
+        assert fb.shape == fs.shape == (3, 180)
+        mb, ms = np.median(fb), np.median(fs)
+        assert abs(np.log(mb / ms)) < 0.35, (mb, ms)
+
     def test_full_workflow_matrix_to_forecast(self, base):
         model, fwd, inv, obs, nc_dates, f_dates = base
         rng = np.random.default_rng(3)
