@@ -167,9 +167,13 @@ class GPModel:
             jnp.asarray(self._host_types), self._params_d, self._log_noise_d,
             x, y, m, DEFAULT_JITTER,
         )
-        delta = np.asarray(lml_new, dtype=np.float64) - np.asarray(
-            self._lml_d, dtype=np.float64
-        )
+        lml_new_np = np.asarray(lml_new, dtype=np.float64)
+        lml_old_np = np.asarray(self._lml_d, dtype=np.float64)
+        # broken particles (LML at the -1e10 rejection sentinel) must lose
+        # weight, not gain ~1e10 of it when only the old value is broken
+        delta = np.where(
+            (lml_old_np <= -1e9) | (lml_new_np <= -1e9), -1e10,
+            lml_new_np - lml_old_np)
         self.log_weight += delta
         self._lml_d = lml_new
         self.n_ingested = n_new

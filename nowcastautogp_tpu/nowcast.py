@@ -35,7 +35,9 @@ from .models.gp_model import (
     GPModel, add_data, maybe_resample, mcmc_parameters, mcmc_structure,
 )
 from .models.structures import prior_arrays
-from .ops.lml import DEFAULT_JITTER, gp_lml_batch, gp_predict_batch
+from .ops.lml import (
+    DEFAULT_JITTER, gp_lml_batch, gp_predict_batch, sampling_cholesky,
+)
 from .tdata import TData, create_transformed_data
 from .utils.apply import apply_elementwise
 from .utils.dates import as_date_array
@@ -247,7 +249,12 @@ def _shared_chol_device(types, params, log_noise, x, y_scen, mask_old,
         + jnp.sum(mask_old) * LOG_2PI)
     lml_old = jnp.where(jnp.isfinite(lml_old), lml_old, -1e10)
 
-    log_w = base_logw[None, :] + lml_new.T - lml_old[None, :]   # (S, P)
+    # guard the -1e10 rejection sentinel: a broken particle must be
+    # excluded, not promoted when only its OLD lml is broken
+    bad = (lml_new.T <= -1e9) | (lml_old[None, :] <= -1e9)       # (S, P)
+    log_w = jnp.where(
+        bad, -1e10, base_logw[None, :] + lml_new.T - lml_old[None, :]
+    )                                                            # (S, P)
 
     # predictive: covariance shared per particle, means per scenario
     Ks = jax.vmap(_cov, in_axes=(0, 0, None, None))(types, params, x, xs)
@@ -259,8 +266,7 @@ def _shared_chol_device(types, params, log_noise, x, y_scen, mask_old,
     noise = jnp.exp(log_noise)[:, None, None]
     cov = (Kss - jnp.einsum("pcm,pcn->pmn", V, V)
            + (noise + jitter) * jnp.eye(m)[None])
-    chol_pred = jnp.linalg.cholesky(
-        cov + 1e-8 * jnp.eye(m, dtype=cov.dtype)[None])
+    chol_pred = sampling_cholesky(cov)
     mu = jnp.einsum("pcm,pcs->pms", Ks, alpha)                  # (P, m, S)
 
     k_comp, k_eps = jax.random.split(key)
@@ -377,7 +383,14 @@ def _forecast_with_nowcasts_batched(
                            DEFAULT_JITTER)
     lml_new = gp_lml_batch(types_d, params, log_noise, x_b, y_b, m_new_b,
                            DEFAULT_JITTER)
-    delta = np.asarray(lml_new, dtype=np.float64) - np.asarray(lml_old, np.float64)
+    lml_old_np = np.asarray(lml_old, np.float64)
+    lml_new_np = np.asarray(lml_new, np.float64)
+    # a particle whose LML hits the -1e10 rejection sentinel is numerically
+    # broken; without this guard a broken OLD value makes delta ~ +1e10 and
+    # hands that particle ALL the weight (observed as collapsed forecasts)
+    delta = np.where(
+        (lml_old_np <= -1e9) | (lml_new_np <= -1e9), -1e10,
+        lml_new_np - lml_old_np)
     log_w = np.tile(base_model.log_weight, S) + delta  # (R,)
     lml = lml_new
 
@@ -440,10 +453,7 @@ def _forecast_with_nowcasts_batched(
             types_d, params, log_noise, x_b, y_b, m_new_b, xs,
             DEFAULT_JITTER, True,
         )
-        chol = jnp.linalg.cholesky(
-            cov + 1e-8 * jnp.eye(m_out, dtype=cov.dtype)[None]
-        )
-        return mu, chol
+        return mu, sampling_cholesky(cov)
 
     logw_d = jnp.asarray(log_w.reshape(S, P), jnp.float32)
 

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from ..inference.hmc import _hmc_batched
-from .lml import DEFAULT_JITTER, gp_predict_impl
+from .lml import DEFAULT_JITTER, gp_predict_impl, sampling_cholesky
 
 __all__ = ["forecast_hmc_scan", "nowcast_forecast_hmc_scan"]
 
@@ -55,9 +55,7 @@ def forecast_hmc_scan(
         mu, cov = predict_v(
             types, params, log_noise, x, y, mask, xs, jitter, True
         )
-        chol = jnp.linalg.cholesky(
-            cov + 1e-8 * jnp.eye(m, dtype=cov.dtype)[None]
-        )
+        chol = sampling_cholesky(cov)
         comp = jax.random.categorical(k_comp, log_w)
         eps = jax.random.normal(k_eps, (m,), mu.dtype)
         sample = mu[comp] + chol[comp] @ eps
@@ -109,9 +107,7 @@ def nowcast_forecast_hmc_scan(
         mu, cov = predict_v(
             types, params, log_noise, x, y, mask, xs, jitter, True
         )
-        chol = jnp.linalg.cholesky(
-            cov + 1e-8 * jnp.eye(m, dtype=cov.dtype)[None]
-        )
+        chol = sampling_cholesky(cov)
         comp = jax.random.categorical(k_comp, log_w, axis=-1)  # (S,)
         flat = comp + jnp.arange(S) * P
         eps = jax.random.normal(k_eps, (S, m), mu.dtype)
