@@ -39,6 +39,7 @@ APPROACHES = ("naive", "leave_out_last", "nowcast", "nowcast_hmc",
 
 def synthetic_nhsn_vintage(n_weeks: int = 150, seed: int = 0,
                            log_mean: float = 0.1, log_sd: float = 0.027,
+                           process_noise: float = 0.05,
                            start=_dt.date(2022, 1, 3)) -> VintagedData:
     """NHSN-like weekly hospitalization vintage with last-week under-reporting.
 
@@ -47,17 +48,18 @@ def synthetic_nhsn_vintage(n_weeks: int = 150, seed: int = 0,
     the week t == r is under-reported by ``exp(log_mean + log_sd * Z)``
     (i.e. eventual/reported ~ LogNormal, ``getting-started.jl:553-556``);
     weeks t < r are final.
+
+    Low process noise keeps the most recent (under-reported) point genuinely
+    load-bearing for the forecast — the regime where naively trusting
+    provisional data fails, as in the reference's NHSN series.
     """
     rng = np.random.default_rng(seed)
     t = np.arange(n_weeks)
-    # low process noise: hospitalization counts are smooth week to week, so
-    # the (under-reported) most recent point is genuinely load-bearing for
-    # the forecast — the regime where the vignette's naive approach fails
     truth = 800 * np.exp(
         0.35 * np.sin(2 * np.pi * t / 52)
         + 0.25 * np.sin(2 * np.pi * t / 26 + 1.0)
         - 0.003 * t
-        + 0.03 * rng.standard_normal(n_weeks)
+        + process_noise * rng.standard_normal(n_weeks)
     )
     final = np.maximum(truth, 1.0)
     dates = [start + _dt.timedelta(weeks=int(i)) for i in range(n_weeks)]
@@ -122,7 +124,8 @@ def score_forecast(vintage: VintagedData, forecast_dates, forecasts,
 
 
 def _forecasts_for(fitted, approach: str, *, n_forecasts: int,
-                   n_nowcast_samples: int, rng: np.random.Generator):
+                   n_nowcast_samples: int, rng: np.random.Generator,
+                   log_mean: float = 0.1, log_sd: float = 0.027):
     """One approach's (n_dates, n_forecasts) matrix (vignette :399-633)."""
     model = GPModel(fitted["model_dict"])
     fdates = fitted["forecast_dates"]
@@ -139,7 +142,8 @@ def _forecasts_for(fitted, approach: str, *, n_forecasts: int,
             ess_threshold=1.0)
     # nowcast approaches: LogNormal reporting-factor draws on the last week
     samples = [
-        fitted["revise_values"] * np.exp(0.1 + rng.standard_normal() * 0.027)
+        fitted["revise_values"]
+        * np.exp(log_mean + rng.standard_normal() * log_sd)
         for _ in range(n_nowcast_samples)
     ]
     ncs = create_nowcast_data(samples, fitted["revise_dates"],
@@ -161,6 +165,7 @@ def _forecasts_for(fitted, approach: str, *, n_forecasts: int,
 def run_acceptance(vintage: VintagedData | None = None, *,
                    report_dates=None, n_forecasts: int = 2000,
                    n_nowcast_samples: int = 100, max_horizon: int = 4,
+                   log_mean: float = 0.1, log_sd: float = 0.027,
                    seed: int = 0, verbose: bool = False, **fit_kwargs):
     """Run the five-approach CRPS comparison; returns a results dict.
 
@@ -187,7 +192,8 @@ def run_acceptance(vintage: VintagedData | None = None, *,
         for approach in APPROACHES:
             fc = _forecasts_for(
                 fitted, approach, n_forecasts=n_forecasts,
-                n_nowcast_samples=n_nowcast_samples, rng=rng)
+                n_nowcast_samples=n_nowcast_samples, rng=rng,
+                log_mean=log_mean, log_sd=log_sd)
             s = score_forecast(vintage, fitted["forecast_dates"], fc,
                                max_horizon=max_horizon)
             per_report[approach].append(s)

@@ -158,23 +158,20 @@ gp_predict = jax.jit(gp_predict_impl)
 
 
 def sampling_cholesky(cov):
-    """Guaranteed-PSD Cholesky of (..., m, m) predictive covariances.
+    """Guaranteed-PSD sampling factor for (..., m, m) predictive covariances.
 
     Large-amplitude particles can make ``Kss - V^T V`` *indefinite* in f32
     (catastrophic cancellation: an amplitude of ~1e5 leaves ~1e-2 of noise
     on a predictive variance that is truly ~1e-3), and a plain
     ``cholesky(cov + 1e-8 I)`` then yields NaN draws for that mixture
-    component.  The host mixture (``models/posterior.py``) retries with
-    escalating jitter; this is the device-side equivalent: symmetrize, then
-    shift the diagonal by the negative part of the Gershgorin lower bound
-    on the smallest eigenvalue — one elementwise pass, no retry loop.
+    component.  The host mixture (``models/posterior.py``) falls back to an
+    eigenvalue floor; this is the device-side equivalent — clamp negative
+    eigenvalues and return ``A = V sqrt(w)`` (any square root samples the
+    same Gaussian; no extra variance beyond the clamp).
     """
     c = 0.5 * (cov + jnp.swapaxes(cov, -1, -2))
-    diag = jnp.diagonal(c, axis1=-2, axis2=-1)
-    offsum = jnp.sum(jnp.abs(c), axis=-1) - jnp.abs(diag)
-    gersh = jnp.min(diag - offsum, axis=-1)               # lower eig bound
-    scale = jnp.maximum(1.0, jnp.max(jnp.abs(diag), axis=-1))
-    shift = jnp.maximum(0.0, -gersh) + 1e-8 * scale
-    m = cov.shape[-1]
-    eye = jnp.eye(m, dtype=cov.dtype)
-    return jnp.linalg.cholesky(c + shift[..., None, None] * eye)
+    w, V = jnp.linalg.eigh(c)  # m is the small forecast horizon — cheap
+    scale = jnp.maximum(1.0, jnp.max(jnp.abs(w), axis=-1, keepdims=True))
+    w = jnp.maximum(w, 1e-8 * scale)
+    # any square root works for sampling: A A^T = cov with A = V sqrt(w)
+    return V * jnp.sqrt(w)[..., None, :]
