@@ -85,8 +85,11 @@ def fit_smc(
     # budgets run per-step with move-chunked rejuvenation sweeps
     units_per_move = 1 + n_hmc * (hmc_cfg.n_leapfrog + 1) * 2
     per_step_units = max(n_mcmc, 1) * units_per_move
+    # capacity bucketing already splits the fused program into per-segment
+    # calls, so the whole-schedule bound is generous; the per-step bound is
+    # what keeps a single segment under the watchdog
     fused_ok = (per_step_units <= _MAX_CALL_UNITS
-                and len(schedule) * per_step_units <= 8 * _MAX_CALL_UNITS)
+                and len(schedule) * per_step_units <= 12 * _MAX_CALL_UNITS)
     if engine == "device" and not biased and schedule and fused_ok:
         return _fit_device(
             model, schedule, n_mcmc, n_hmc, hmc_cfg,
