@@ -65,7 +65,7 @@ def _chunk_for(n: int, p: int, bufs: float) -> int:
     inverse ~6.7: in+out+scratch + fori carries); the budget stays under
     the raised 32 MB scoped-vmem limit with headroom.
     """
-    budget = max(16, int(26e6 // (bufs * n * n * 4)) // 8 * 8)
+    budget = min(64, max(16, int(26e6 // (bufs * n * n * 4)) // 8 * 8))
     if p <= budget:
         return p
     # prefer the least padding among chunks in [max(budget/2, 16), budget]

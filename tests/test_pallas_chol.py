@@ -11,6 +11,16 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+
+@pytest.fixture(scope="module", autouse=True)
+def _no_persistent_cache():
+    """Interpret-mode kernels serialize to enormous cache entries whose
+    write/read has crashed XLA:CPU (SIGABRT) twice in full-suite runs —
+    keep this module out of the persistent compilation cache."""
+    jax.config.update("jax_enable_compilation_cache", False)
+    yield
+    jax.config.update("jax_enable_compilation_cache", True)
+
 from nowcastautogp_tpu.ops.pallas_chol import (
     chol_inverse_batched, chol_solve_batched, lml_core,
 )
