@@ -20,6 +20,7 @@ Public surface (superset of the reference's exports,
 from .eval.crps import (
     crps_ensemble, crps_matrix, quantile_matrix, quantile_matrix_device,
 )
+from .eval.acceptance import run_acceptance, synthetic_nhsn_vintage
 from .fitting import make_and_fit_model
 from .forecasting import forecast
 from .inference.schedule import linear_schedule
@@ -50,7 +51,7 @@ __all__ = [
     "HMCConfig", "MvNormalMixture", "DEFAULT_DEPTH",
     # evaluation & observability & checkpointing
     "crps_ensemble", "crps_matrix", "quantile_matrix",
-    "quantile_matrix_device",
+    "quantile_matrix_device", "run_acceptance", "synthetic_nhsn_vintage",
     "phase_report", "reset_phases", "device_trace",
     "save_model", "load_model",
     # vintaged-data workflow helpers

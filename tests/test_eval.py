@@ -54,6 +54,29 @@ class TestCRPS:
             np.testing.assert_allclose(rows[i], crps_ensemble(fc[i], obs[i]))
 
 
+class TestSamplingCholesky:
+    def test_indefinite_cov_yields_finite_factor(self):
+        import jax.numpy as jnp
+
+        from nowcastautogp_tpu.ops.lml import sampling_cholesky
+
+        rng = np.random.default_rng(3)
+        A = rng.standard_normal((3, 4, 4)).astype(np.float32)
+        cov = np.einsum("pij,pkj->pik", A, A)
+        # particle 1: an f32-cancellation-style indefinite matrix (negative
+        # first diagonal entry, like a broken large-amplitude particle)
+        cov[1, 0, 0] = -0.05
+        F = np.asarray(sampling_cholesky(jnp.asarray(cov)))
+        assert np.all(np.isfinite(F))
+        # A A^T reproduces the PSD projection of cov for healthy particles
+        rec = np.einsum("pij,pkj->pik", F, F)
+        np.testing.assert_allclose(rec[0], cov[0], atol=1e-4)
+        np.testing.assert_allclose(rec[2], cov[2], atol=1e-4)
+        # the broken particle's factor stays bounded (eigenvalue clamp, not
+        # a variance blowup)
+        assert np.abs(rec[1]).max() < np.abs(cov[1]).max() * 1.5
+
+
 class TestQuantiles:
     def test_quantile_matrix_shape_and_values(self):
         rng = np.random.default_rng(5)
