@@ -36,7 +36,7 @@ def _series(n: int, seed: int = 0):
     return dates, obs
 
 
-def run(n_particles=200, n_train=150, n_mcmc=12, n_hmc=3,
+def run(n_particles=200, n_train=150, n_mcmc=14, n_hmc=3,
         n_scenarios=100, draws_per=20, horizon=4, seed=1, verbose=False):
     import datetime as dt
 
@@ -106,7 +106,7 @@ def main():
         "unit": "s",
         "vs_baseline": round(target / total, 3),
         "detail": {"fit_s": round(fit_s, 2), "nowcast_forecast_s": round(fc_s, 2),
-                    "target_s": target, "n_mcmc": 12, "n_hmc": 3,
+                    "target_s": target, "n_mcmc": 14, "n_hmc": 3,
                     "max_depth": 5, **quality},
     }))
 

@@ -29,7 +29,6 @@ from .forecasting import forecast
 from .inference.hmc import run_hmc
 from .inference.resample import ess as _ess
 from .inference.resample import gather_particles, resample_indices
-from .inference.structure_mcmc import mcmc_structure_sweep
 from .models.config import HMCConfig
 from .models.gp_model import (
     GPModel, add_data, maybe_resample, mcmc_parameters, mcmc_structure,
@@ -38,7 +37,7 @@ from .models.structures import prior_arrays
 from .ops.lml import (
     DEFAULT_JITTER, gp_lml_batch, gp_predict_batch, sampling_cholesky,
 )
-from .tdata import TData, create_transformed_data
+from .tdata import create_transformed_data
 from .utils.apply import apply_elementwise
 from .utils.dates import as_date_array
 
