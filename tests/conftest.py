@@ -38,8 +38,20 @@ except Exception:  # pragma: no cover
 jax.config.update("jax_compilation_cache_dir", f"/tmp/ngp_jax_cache_{_cpu_key}")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+# Deep single-process runs have segfaulted in compilation-cache IO once RSS
+# grows past ~the box's budget (observed repeatedly around test #148 of the
+# full suite); dropping JAX's in-memory executable caches at each module
+# boundary keeps the footprint bounded (the persistent cache makes any
+# re-compiles cheap).
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bounded_jax_memory():
+    yield
+    jax.clear_caches()
 
 
 @pytest.fixture
