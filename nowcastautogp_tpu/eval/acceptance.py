@@ -185,6 +185,7 @@ def run_acceptance(vintage: VintagedData | None = None, *,
         # every 12th report date in the second half of the vintage
         rds = list(vintage.report_date_range())
         report_dates = rds[len(rds) // 2::12]
+    report_dates = list(report_dates)  # a generator would exhaust in the loop
     rng = np.random.default_rng(seed)
     per_report: dict[str, list[float]] = {a: [] for a in APPROACHES}
     for i, rd in enumerate(report_dates):
@@ -204,4 +205,4 @@ def run_acceptance(vintage: VintagedData | None = None, *,
     base = scores["nowcast_hmc"]
     ratios = {a: float(s / base) for a, s in scores.items()}
     return {"scores": scores, "ratios": ratios, "per_report": per_report,
-            "n_report_dates": len(list(report_dates))}
+            "n_report_dates": len(report_dates)}

@@ -103,12 +103,13 @@ def rejuvenation_sweep(
 
 @partial(
     jax.jit,
-    static_argnames=("n_mcmc", "n_hmc", "n_leapfrog", "adaptive"),
+    static_argnames=("n_mcmc", "n_hmc", "n_leapfrog", "adaptive", "biased"),
 )
 def smc_fit_device(
     types, params, log_noise, log_w, lml, eps_scale, x, y, masks, key, cfg,
     anc, *,
     n_mcmc, n_hmc, n_leapfrog, step_size, step_jitter, adaptive,
+    biased=False,
     ess_frac=0.5, jitter=DEFAULT_JITTER, noise_mu=-2.0, noise_sigma=1.0,
     infer_noise=1.0,
 ):
@@ -129,10 +130,17 @@ def smc_fit_device(
         mask_k = inp
         key, k_res, k_sweep = jax.random.split(key, 3)
 
-        # (1) reweight to this step's conditioning set
+        # (1) reweight to this step's conditioning set.  Broken particles
+        # (LML at the -1e10 rejection sentinel on either side) must lose
+        # weight: a particle broken at step k whose step-k+1 LML comes back
+        # finite would otherwise see delta ~ +1e10 and capture the whole
+        # ensemble (same guard as models/gp_model.py:174-176).
         lml_new = gp_lml_batched(types, params, log_noise, x, y, mask_k,
                                  jitter)
-        log_w = log_w + (lml_new - lml)
+        delta = jnp.where(
+            (lml <= -1e9) | (lml_new <= -1e9), -1e10, lml_new - lml
+        )
+        log_w = log_w + delta
         lml = lml_new
 
         # (2) ESS + systematic resampling (device)
@@ -140,12 +148,18 @@ def smc_fit_device(
         w = jnp.exp(lw)
         ess = 1.0 / jnp.sum(w * w)
         low = ess < ess_frac * P
-        u = jax.random.uniform(k_res)
-        positions = (u + jnp.arange(P, dtype=w.dtype)) / P
-        idx_sys = jnp.clip(
-            jnp.searchsorted(jnp.cumsum(w), positions), 0, P - 1
-        )
-        idx = jnp.where(low, idx_sys, jnp.arange(P))
+        if biased:
+            # multinomial (``biased=True``): i.i.d. categorical draws from
+            # the normalized weights — device-side, so the one-program fit
+            # is preserved for both resampling schemes
+            idx_res = jax.random.categorical(k_res, lw, shape=(P,))
+        else:
+            u = jax.random.uniform(k_res)
+            positions = (u + jnp.arange(P, dtype=w.dtype)) / P
+            idx_res = jnp.clip(
+                jnp.searchsorted(jnp.cumsum(w), positions), 0, P - 1
+            )
+        idx = jnp.where(low, idx_res, jnp.arange(P))
         types, params, log_noise, lml, eps_scale = (
             types[idx], params[idx], log_noise[idx], lml[idx], eps_scale[idx]
         )

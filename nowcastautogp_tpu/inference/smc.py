@@ -52,7 +52,8 @@ def fit_smc(
     ``TypeError``, mirroring the reference's pass-through contract where
     ``fit_smc!`` errors without them (``test/test_gpconfig.jl:37-43``).
     ``biased=True`` selects multinomial resampling instead of the default
-    systematic scheme (host engine only — it forces ``engine="host"``).
+    systematic scheme (supported by both engines; on the device engine it is
+    a ``jax.random.categorical`` draw inside the one-program fit).
 
     ``engine="device"`` (default) compiles the whole annealing loop —
     reweight, resample, structure moves, HMC — into one XLA program
@@ -73,12 +74,6 @@ def fit_smc(
         model._push_data()
 
     schedule = [s for s in schedule if s > model.n_ingested]
-    if biased and engine == "device":
-        logger.warning(
-            "biased=True (multinomial resampling) runs on the host engine — "
-            "a different performance class than the default one-program "
-            "device fit."
-        )
     # work per structure move in LML-grad equivalents; a single device call
     # must stay well under the TPU worker's execution watchdog (a fused
     # 50x50 canonical sweep in one program crashed the worker), so large
@@ -90,10 +85,10 @@ def fit_smc(
     # what keeps a single segment under the watchdog
     fused_ok = (per_step_units <= _MAX_CALL_UNITS
                 and len(schedule) * per_step_units <= 12 * _MAX_CALL_UNITS)
-    if engine == "device" and not biased and schedule and fused_ok:
+    if engine == "device" and schedule and fused_ok:
         return _fit_device(
             model, schedule, n_mcmc, n_hmc, hmc_cfg,
-            adaptive_rejuvenation, ess_fraction, verbose,
+            adaptive_rejuvenation, ess_fraction, verbose, biased=biased,
         )
     chunk_m = max(1, _MAX_CALL_UNITS // units_per_move)
     t_start = time.time()
@@ -110,15 +105,18 @@ def fit_smc(
         if do_rejuvenate:
             with phase("smc/rejuvenate"):
                 if n_mcmc > 0:
-                    accs, left = [], n_mcmc
+                    accs, sizes, left = [], [], n_mcmc
                     while left > 0:
                         m = min(chunk_m, left)
                         accs.append(model.rejuvenate(m, n_hmc, hmc_cfg,
                                                      engine=engine))
+                        sizes.append(m)
                         left -= m
                     import numpy as _np
 
-                    acc = float(_np.mean(accs))
+                    # weight by chunk size: the final chunk may hold fewer
+                    # moves, so a plain mean would skew the diagnostic
+                    acc = float(_np.average(accs, weights=sizes))
                 elif n_hmc > 0:
                     acc = model.hmc_only(n_hmc, hmc_cfg)
         if verbose:
@@ -132,7 +130,7 @@ def fit_smc(
 
 
 def _fit_device(model, schedule, n_mcmc, n_hmc, hmc_cfg,
-                adaptive_rejuvenation, ess_fraction, verbose):
+                adaptive_rejuvenation, ess_fraction, verbose, biased=False):
     """Device-program fit via ``smc_fit_device`` (mutates ``model``).
 
     Capacity bucketing: the masked fixed-capacity design pays O(cap^2)
@@ -191,6 +189,7 @@ def _fit_device(model, schedule, n_mcmc, n_hmc, hmc_cfg,
                 step_size=hmc_cfg.step_size,
                 step_jitter=hmc_cfg.step_size_jitter,
                 adaptive=bool(adaptive_rejuvenation),
+                biased=bool(biased),
                 ess_frac=float(ess_fraction),
                 noise_mu=noise_mu, noise_sigma=noise_sigma,
                 infer_noise=infer,

@@ -133,6 +133,14 @@ def forecast_with_nowcasts(
         # ONCE PER PARTICLE and reused across all scenarios (only the target
         # vector differs) — ~S-fold less linear algebra than the flattened
         # scenario x particle path
+        if ess_threshold > 0:
+            logger.info(
+                "ess_threshold=%.3g bypassed on the shared-Cholesky "
+                "no-refresh path: per-draw marginals are identical to "
+                "resample-then-draw, but draws within a scenario are "
+                "i.i.d. rather than sharing one resampled particle set",
+                ess_threshold,
+            )
         return _forecast_with_nowcasts_shared_chol(
             base_model, nowcasts, forecast_dates,
             int(forecast_draws_per_nowcast),

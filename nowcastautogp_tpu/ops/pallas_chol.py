@@ -323,6 +323,11 @@ def chol_solve_batched(K, ym):
     ym: (P, n).  Returns (L (P, n, n), alpha (P, n)).
     """
     P, n, _ = K.shape
+    if n % _BLOCK != 0:
+        raise ValueError(
+            f"pallas Cholesky requires n to be a multiple of {_BLOCK} "
+            f"(got n={n}); pad the capacity or use the jnp LML backend"
+        )
     C = _chunk_for(n, P, bufs=4.0)
     (K_p, ym_p), Pp = _pad_particles(((K, 0.0), (ym, 0.0)), P, C)
     if Pp != P:
@@ -358,6 +363,11 @@ def chol_solve_batched(K, ym):
 def chol_inverse_batched(L):
     """Batched K^{-1} from Cholesky factors L (P, n, n)."""
     P, n, _ = L.shape
+    if n % _BLOCK != 0:
+        raise ValueError(
+            f"pallas triangular inverse requires n to be a multiple of "
+            f"{_BLOCK} (got n={n}); pad the capacity or use the jnp backend"
+        )
     C = _chunk_for(n, P, bufs=6.8)
     (L_p,), Pp = _pad_particles(((L, 0.0),), P, C)
     if Pp != P:

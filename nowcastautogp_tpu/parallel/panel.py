@@ -129,7 +129,13 @@ def fit_panel(
             jnp.asarray(host_types), params, log_noise, x_b, y_b, mask_b,
             DEFAULT_JITTER,
         )
-        log_w += np.asarray(lml_new, np.float64) - np.asarray(lml, np.float64)
+        lml_new_np = np.asarray(lml_new, np.float64)
+        lml_old_np = np.asarray(lml, np.float64)
+        # sentinel guard: a particle broken on either side of the reweight
+        # must lose weight, not gain ~1e10 of it (models/gp_model.py:174-176)
+        log_w += np.where(
+            (lml_old_np <= -1e9) | (lml_new_np <= -1e9), -1e10,
+            lml_new_np - lml_old_np)
         lml = lml_new
         n_cur = n_new
 

@@ -135,13 +135,63 @@ class TestDeviceFitParity:
         )
         assert m.n_ingested == 30
 
-    def test_biased_falls_back_to_host(self):
+    def test_biased_device_parity(self):
+        """biased=True (multinomial) stays in the one-program device fit and
+        agrees statistically with the host multinomial engine (VERDICT r2
+        weak #5: previously forced a host fallback)."""
         data, dates, obs = self._data(seed=10)
-        m = ngp.make_and_fit_model(
-            data, n_particles=2, smc_data_proportion=0.5, n_mcmc=1, n_hmc=1,
-            biased=True, seed=4,
+        kw = dict(n_particles=2, smc_data_proportion=0.5, n_mcmc=1, n_hmc=1,
+                  biased=True)
+        m_dev = ngp.make_and_fit_model(data, seed=4, engine="device", **kw)
+        m_host = ngp.make_and_fit_model(data, seed=4, engine="host", **kw)
+        fdates = [dates[-1] + dt.timedelta(weeks=i + 1) for i in range(2)]
+        mu_d = ngp.predict_mvn(m_dev, fdates).mean()
+        mu_h = ngp.predict_mvn(m_host, fdates).mean()
+        np.testing.assert_allclose(mu_d, mu_h, atol=1.0)
+        for m in (m_dev, m_host):
+            assert m.n_ingested == 30
+            assert np.all(np.isfinite(m.log_weight))
+
+    def test_device_fit_sentinel_guard(self):
+        """A particle whose stored LML sits at the -1e10 rejection sentinel
+        and whose next reweight comes back finite must LOSE the ensemble,
+        not capture ~e^{1e10} of it (VERDICT r2 weak #1: guard was missing
+        from the default device-fit reweight)."""
+        import jax.numpy as jnp
+
+        from nowcastautogp_tpu.inference.device_smc import smc_fit_device
+        from nowcastautogp_tpu.models.structures_device import (
+            ancestor_table, config_arrays,
         )
-        assert m.n_ingested == 30
+
+        data, dates, obs = self._data(seed=11)
+        m = ngp.make_and_fit_model(
+            data, n_particles=3, smc_data_proportion=1.0, n_mcmc=0, n_hmc=0,
+            seed=5,
+        )
+        P, cap = 3, m._cap
+        x = jnp.broadcast_to(m._x_d[:cap], (P, cap))
+        y = jnp.broadcast_to(m._y_d[:cap], (P, cap))
+        masks = np.broadcast_to(
+            (np.arange(cap) < len(obs)).astype(np.float32)[None, None, :],
+            (1, P, cap),
+        )
+        # particle 0 "broken at step k": stored LML is the sentinel
+        lml0 = jnp.asarray([-1e10, 0.0, 0.0], jnp.float32)
+        (_, _, _, log_w, lml, _, _) = smc_fit_device(
+            jnp.asarray(m._host_types), m._params_d, m._log_noise_d,
+            jnp.zeros(P, jnp.float32), lml0, m._eps_scale_d, x, y,
+            jnp.asarray(masks), m.next_key(), config_arrays(m.config),
+            jnp.asarray(ancestor_table(m.config.max_nodes)),
+            n_mcmc=0, n_hmc=0, n_leapfrog=1, step_size=0.1,
+            step_jitter=0.0, adaptive=False, ess_frac=0.0,
+        )
+        log_w = np.asarray(log_w, np.float64)
+        # recovered-but-previously-broken particle must not dominate
+        assert log_w[0] <= -1e9
+        assert np.all(np.isfinite(log_w[1:]))
+        w = np.exp(log_w - log_w.max())
+        assert w[0] / w.sum() < 1e-6
 
 
 class TestAdaptiveHMC:

