@@ -36,12 +36,14 @@ def _series(n: int, seed: int = 0):
     return dates, obs
 
 
-def run(n_particles=200, n_train=150, n_mcmc=14, n_hmc=3,
-        n_scenarios=100, draws_per=20, horizon=4, seed=1, verbose=False):
+def run(n_particles=200, n_train=150, n_mcmc=None, n_hmc=None,
+        n_scenarios=100, draws_per=20, horizon=8, seed=1, verbose=False):
     import datetime as dt
 
     import nowcastautogp_tpu as ngp
 
+    n_mcmc = N_MCMC if n_mcmc is None else n_mcmc
+    n_hmc = N_HMC if n_hmc is None else n_hmc
     dates, obs = _series(n_train + 2 + horizon, seed)
     train_dates, train_obs = dates[:n_train], obs[:n_train]
     fwd, inv = ngp.get_transformations("boxcox", train_obs)
@@ -86,29 +88,87 @@ def run(n_particles=200, n_train=150, n_mcmc=14, n_hmc=3,
                              "coverage90": round(cover90, 3)}
 
 
+# Quality gate (VERDICT r2 weak #4 / item 9): committed failure thresholds.
+# Perf work cannot silently trade away calibration — the bench exits nonzero
+# if the pooled 3-seed, 8-horizon-point quality regresses past these bounds.
+# Calibrated from the r2-era operating point (log_crps ~0.059 at horizon 4;
+# horizon-8 pooling runs wider) plus seed-to-seed spread ~0.015.
+GATE_MAX_LOG_CRPS = 0.105
+GATE_COVERAGE90 = (0.70, 1.0)
+SEEDS = (2, 3, 4)
+N_MCMC, N_HMC = 14, 3
+
+
 def main():
+    import sys
+
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/ngp_jax_cache_tpu")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     # warm-up at IDENTICAL static shapes (P, cap, schedule length, n_mcmc,
-    # n_hmc) so the measured run is compile-free; the persistent cache makes
+    # n_hmc) so the measured runs are compile-free; the persistent cache makes
     # this cheap on repeat bench invocations.
     run(seed=1)
 
-    fit_s, fc_s, fc, quality = run(seed=2)
+    per_seed = []
+    for seed in SEEDS:
+        fit_s, fc_s, fc, quality = run(seed=seed)
+        per_seed.append((fit_s, fc_s, quality))
+    fit_s = float(np.median([p[0] for p in per_seed]))
+    fc_s = float(np.median([p[1] for p in per_seed]))
+    crps_seeds = [p[2]["log_crps"] for p in per_seed]
+    cover_seeds = [p[2]["coverage90"] for p in per_seed]
+    quality = {
+        "log_crps": round(float(np.mean(crps_seeds)), 4),
+        "log_crps_per_seed": crps_seeds,
+        "coverage90": round(float(np.mean(cover_seeds)), 3),
+        "coverage90_per_seed": cover_seeds,
+    }
+    gate_ok = (quality["log_crps"] <= GATE_MAX_LOG_CRPS
+               and GATE_COVERAGE90[0] <= quality["coverage90"]
+               <= GATE_COVERAGE90[1])
     total = fit_s + fc_s
     target = 60.0
+
+    # MFU accounting (VERDICT r2 missing #3): XLA's own cost model on the
+    # exact capacity-bucketed fit programs, vs measured fit wall-clock.
+    # Computed after the timed runs; compilation hits the persistent cache.
+    mfu_detail = {}
+    try:
+        import nowcastautogp_tpu as ngp
+        from nowcastautogp_tpu.inference.schedule import linear_schedule
+        from nowcastautogp_tpu.utils.flops import fit_cost_analysis, mfu
+
+        schedule = linear_schedule(150, 0.1)
+        flops, _ = fit_cost_analysis(
+            P=200, config=ngp.GPConfig(max_depth=5), schedule=schedule,
+            cap_full=192, n_mcmc=N_MCMC, n_hmc=N_HMC, n_leapfrog=3)
+        mfu_detail = mfu(flops, fit_s)
+    except Exception as e:  # cost model unavailable on some backends
+        mfu_detail = {"mfu_error": type(e).__name__}
+
     print(json.dumps({
         "metric": "nhsn_200p_fit_plus_100x20_nowcast_forecast_wallclock",
         "value": round(total, 2),
         "unit": "s",
         "vs_baseline": round(target / total, 3),
         "detail": {"fit_s": round(fit_s, 2), "nowcast_forecast_s": round(fc_s, 2),
-                    "target_s": target, "n_mcmc": 14, "n_hmc": 3,
-                    "max_depth": 5, **quality},
+                    "target_s": target, "n_mcmc": N_MCMC, "n_hmc": N_HMC,
+                    "max_depth": 5, "n_seeds": len(SEEDS),
+                    "scored_horizon_points": 8 * len(SEEDS),
+                    "quality_gate_ok": gate_ok,
+                    "gate_max_log_crps": GATE_MAX_LOG_CRPS,
+                    "gate_coverage90": list(GATE_COVERAGE90),
+                    **quality, **mfu_detail},
     }))
+    if not gate_ok:
+        print(f"QUALITY GATE FAILED: log_crps {quality['log_crps']} "
+              f"(max {GATE_MAX_LOG_CRPS}), coverage90 "
+              f"{quality['coverage90']} (bounds {GATE_COVERAGE90})",
+              file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -129,6 +129,26 @@ def fit_smc(
     return model
 
 
+def schedule_segments(schedule, cap_full):
+    """Group consecutive schedule steps by the smallest sufficient
+    64-multiple capacity (the capacity-bucketing rule of ``_fit_device``).
+
+    Returns ``[(cap, [n_k, ...]), ...]``; exported so cost accounting
+    (``utils/flops.py``, bench MFU) can reproduce the exact programs a fit
+    runs without re-deriving the bucketing rule.
+    """
+    import numpy as np
+
+    segments: list[tuple[int, list[int]]] = []
+    for n_k in schedule:
+        cap_k = min(cap_full, max(64, int(np.ceil(n_k / 64)) * 64))
+        if segments and segments[-1][0] == cap_k:
+            segments[-1][1].append(int(n_k))
+        else:
+            segments.append((cap_k, [int(n_k)]))
+    return segments
+
+
 def _fit_device(model, schedule, n_mcmc, n_hmc, hmc_cfg,
                 adaptive_rejuvenation, ess_fraction, verbose, biased=False):
     """Device-program fit via ``smc_fit_device`` (mutates ``model``).

@@ -70,32 +70,61 @@ gp_lml = jax.jit(gp_lml_impl)
 # pjit) callers in parallel/ keep the vmapped jnp implementation.
 # ---------------------------------------------------------------------------
 
-# Default "jnp": the Pallas core is correct on TPU but does not yet beat
-# XLA's batched cholesky at bench shapes (17.3 vs 11.7 ms fwd at P=200,
-# n=192 — fori-of-rank-1 downdate traffic); flip to "auto" when it wins.
+# Backend selection:
+#   "mega"   — fused batched Pallas covariance (ops/pallas_megacov.py, VMEM
+#              heap walk + analytic VJP) feeding XLA's batched Cholesky.
+#   "pallas" — XLA covariance + the blocked Pallas Cholesky core
+#              (ops/pallas_chol.py); loses to XLA chol at bench shapes.
+#   "jnp"    — vmapped XLA end to end.
+#   "auto"   — "mega" on TPU when shapes qualify, else "jnp".
 _LML_BACKEND = "jnp"
 
 
 def set_lml_backend(name: str) -> None:
-    """Select the LML backend: "auto", "pallas", or "jnp".
+    """Select the LML backend: "auto", "mega", "pallas", or "jnp".
 
     Call before the first fit — jitted callers resolve the backend when they
     trace, so flipping it later only affects new compilations.
     """
     global _LML_BACKEND
-    assert name in ("auto", "pallas", "jnp"), name
+    assert name in ("auto", "mega", "pallas", "jnp"), name
     _LML_BACKEND = name
 
 
-def _use_pallas_lml() -> bool:
-    if _LML_BACKEND == "pallas":
-        return True
-    if _LML_BACKEND == "jnp":
-        return False
+def _on_tpu() -> bool:
     try:
         return jax.default_backend() == "tpu"
     except Exception:  # pragma: no cover
         return False
+
+
+def _resolve_backend(n_nodes: int, n: int) -> str:
+    from .pallas_megacov import megacov_supported
+
+    if _LML_BACKEND == "mega":
+        return "mega" if megacov_supported(n_nodes, n) else "jnp"
+    if _LML_BACKEND == "auto":
+        return ("mega" if _on_tpu() and megacov_supported(n_nodes, n)
+                else "jnp")
+    return _LML_BACKEND
+
+
+def _lml_from_K(K, log_noise, y, mask, jitter):
+    """Batched masked LML given raw covariance K (P, n, n)."""
+    mm = mask[:, :, None] * mask[:, None, :]
+    noise = jnp.exp(log_noise)
+    diag = mask * (noise[:, None] + jitter) + (1.0 - mask)
+    n = K.shape[-1]
+    A = K * mm + diag[:, :, None] * jnp.eye(n, dtype=K.dtype)
+    L = jnp.linalg.cholesky(A)
+    ym = y * mask
+    alpha = jax.scipy.linalg.cho_solve((L, True), ym[..., None])[..., 0]
+    quad = jnp.einsum("pn,pn->p", ym, alpha)
+    logdet = 2.0 * jnp.sum(
+        jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
+    n_active = jnp.sum(mask, axis=-1)
+    lml = -0.5 * (quad + logdet + n_active * LOG_2PI)
+    return jnp.where(jnp.isfinite(lml), lml, -1e10)
 
 
 def gp_lml_batched(node_types, params, log_noise, x, y, mask,
@@ -105,7 +134,13 @@ def gp_lml_batched(node_types, params, log_noise, x, y, mask,
     Identical semantics to ``vmap(gp_lml_impl)`` including the ``-1e10``
     non-finite rejection guard.
     """
-    if _use_pallas_lml():
+    backend = _resolve_backend(node_types.shape[-1], x.shape[-1])
+    if backend == "mega":
+        from .pallas_megacov import cov_batched_fused
+
+        K = cov_batched_fused(node_types, params, x)
+        return _lml_from_K(K, log_noise, y, mask, jitter)
+    if backend == "pallas":
         from .pallas_chol import lml_core
 
         K = jax.vmap(masked_kernel_matrix, in_axes=(0, 0, 0, 0, 0, None))(

@@ -89,3 +89,37 @@ class TestStructureDiagnostics:
         strs = model.structures()
         assert len(strs) == model.num_particles
         assert all(isinstance(s, str) and s for s in strs)
+
+
+class TestFlopAccounting:
+    def test_schedule_segments_bucketing(self):
+        from nowcastautogp_tpu.inference.smc import schedule_segments
+
+        # 150-week series at proportion 0.1: caps bucket at 64/128/192
+        from nowcastautogp_tpu.inference.schedule import linear_schedule
+
+        sched = linear_schedule(150, 0.1)
+        segs = schedule_segments(sched, 192)
+        assert [c for c, _ in segs] == [64, 128, 192]
+        assert sum(len(s) for _, s in segs) == len(sched)
+        # every step fits its segment's capacity and exceeds the previous cap
+        for cap, steps in segs:
+            assert all(s <= cap for s in steps)
+        assert segs[-1][1][-1] == 150
+
+    def test_fit_cost_analysis_positive_and_scales(self):
+        from nowcastautogp_tpu.utils.flops import fit_cost_analysis, mfu
+
+        cfg = ngp.GPConfig(max_depth=3)
+        f1, b1 = fit_cost_analysis(
+            P=2, config=cfg, schedule=[32, 64], cap_full=64,
+            n_mcmc=1, n_hmc=1, n_leapfrog=2)
+        f2, _ = fit_cost_analysis(
+            P=4, config=cfg, schedule=[32, 64], cap_full=64,
+            n_mcmc=1, n_hmc=1, n_leapfrog=2)
+        assert f1 > 0 and b1 > 0
+        # doubling particles should grow FLOPs substantially (near 2x)
+        assert f2 > 1.5 * f1
+        out = mfu(f1, f1 / 1e12)  # 1 TFLOP/s exactly
+        assert out["achieved_tflops_per_s"] == 1.0
+        assert 0 <= out["mfu_vs_bf16_peak"] <= 1

@@ -1,0 +1,198 @@
+"""Parity tests for the batched fused covariance mega-kernel.
+
+Runs through the Pallas interpreter on the CPU mesh; the TPU-compiled path
+shares the same kernel code (tested for wins on real hardware via
+tools/microbench_lml.py, results in PLAN.md).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import nowcastautogp_tpu as ngp
+from nowcastautogp_tpu.models.config import GPConfig
+from nowcastautogp_tpu.models.structures import (
+    CONST, CP, EMPTY, GE, LINEAR, PERIODIC, PLUS, SE, TIMES, sample_particle,
+)
+from nowcastautogp_tpu.ops import lml as lml_mod
+from nowcastautogp_tpu.ops import pallas_megacov as mega
+from nowcastautogp_tpu.ops.kernels import eval_cov_impl
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode():
+    mega.set_interpret_mode(True)
+    yield
+    mega.set_interpret_mode(False)
+
+
+def _handcrafted_particles(n_nodes=15):
+    """Trees covering every node type, incl. deliberately heterogeneous mix."""
+    rng = np.random.default_rng(3)
+    trees = []
+    # CP(TIMES(SE, PER), PLUS(LIN, GE)) — all combinators + 4 leaf types
+    t = np.zeros(n_nodes, np.int32)
+    t[0], t[1], t[2] = CP, TIMES, PLUS
+    t[3], t[4], t[5], t[6] = SE, PERIODIC, LINEAR, GE
+    trees.append(t)
+    # single CONST root
+    t = np.zeros(n_nodes, np.int32)
+    t[0] = CONST
+    trees.append(t)
+    # PLUS(GE, CP(SE, CONST))
+    t = np.zeros(n_nodes, np.int32)
+    t[0], t[1], t[2] = PLUS, GE, CP
+    t[5], t[6] = SE, CONST
+    trees.append(t)
+    # deep chain: TIMES(PLUS(TIMES(SE, PER), LIN), GE)
+    t = np.zeros(n_nodes, np.int32)
+    t[0], t[1], t[2] = TIMES, PLUS, GE
+    t[3], t[4] = TIMES, LINEAR
+    t[7], t[8] = SE, PERIODIC
+    trees.append(t)
+    types = np.stack(trees)
+    params = rng.normal(0.0, 0.7, size=(len(trees), n_nodes, 3)).astype(
+        np.float32)
+    return jnp.asarray(types), jnp.asarray(params)
+
+
+def _random_particles(P=7, depth=5, seed=0):
+    cfg = GPConfig(max_depth=depth)
+    rng = np.random.default_rng(seed)
+    ts, ps = [], []
+    for _ in range(P):
+        t, p, _ = sample_particle(rng, cfg)
+        ts.append(t), ps.append(p)
+    return (jnp.asarray(np.stack(ts).astype(np.int32)),
+            jnp.asarray(np.stack(ps).astype(np.float32)))
+
+
+def _x_rows(P, n, seed=1, per_row=True):
+    rng = np.random.default_rng(seed)
+    base = np.linspace(0, 1, n)
+    if per_row:
+        rows = np.stack([
+            base + 0.01 * rng.standard_normal(n) * (i % 2) for i in range(P)
+        ])
+    else:
+        rows = np.broadcast_to(base, (P, n)).copy()
+    return jnp.asarray(rows.astype(np.float32))
+
+
+def _ref_cov(types, params, x):
+    return jax.vmap(eval_cov_impl, in_axes=(0, 0, 0, 0))(
+        types, params, x, x)
+
+
+class TestForwardParity:
+    def test_handcrafted_all_types(self):
+        types, params = _handcrafted_particles()
+        x = _x_rows(types.shape[0], 64)
+        K = mega.cov_batched_fused(types, params, x)
+        K_ref = _ref_cov(types, params, x)
+        np.testing.assert_allclose(np.asarray(K), np.asarray(K_ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_random_depth5_with_padding(self):
+        # P=7 pads to the chunk size; shared x rows
+        types, params = _random_particles(P=7, depth=5)
+        x = _x_rows(7, 64, per_row=False)
+        K = mega.cov_batched_fused(types, params, x)
+        K_ref = _ref_cov(types, params, x)
+        np.testing.assert_allclose(np.asarray(K), np.asarray(K_ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_lane_padding_n96(self):
+        # n=96 pads to 128 lanes internally; values and grads must match
+        types, params = _handcrafted_particles()
+        x = _x_rows(types.shape[0], 96)
+        K = mega.cov_batched_fused(types, params, x)
+        K_ref = _ref_cov(types, params, x)
+        np.testing.assert_allclose(np.asarray(K), np.asarray(K_ref),
+                                   rtol=1e-5, atol=1e-5)
+        rng = np.random.default_rng(17)
+        W = jnp.asarray(rng.standard_normal((4, 96, 96)).astype(np.float32))
+        g1 = jax.grad(lambda p: jnp.sum(
+            W * mega.cov_batched_fused(types, p, x)))(params)
+        g2 = jax.grad(lambda p: jnp.sum(W * _ref_cov(types, p, x)))(params)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_unsupported_shapes_flagged(self):
+        assert not mega.megacov_supported(64, 100)  # n % 8 != 0
+        assert not mega.megacov_supported(64, 1024)  # beyond VMEM plan
+        assert mega.megacov_supported(31, 192)
+
+
+class TestGradParity:
+    def _grad_pair(self, types, params, x, seed=5):
+        rng = np.random.default_rng(seed)
+        W = jnp.asarray(rng.standard_normal(
+            (types.shape[0], x.shape[1], x.shape[1])).astype(np.float32))
+
+        def loss_mega(p):
+            return jnp.sum(W * mega.cov_batched_fused(types, p, x))
+
+        def loss_ref(p):
+            return jnp.sum(W * _ref_cov(types, p, x))
+
+        return jax.grad(loss_mega)(params), jax.grad(loss_ref)(params)
+
+    def test_handcrafted_grads(self):
+        types, params = _handcrafted_particles()
+        x = _x_rows(types.shape[0], 64)
+        g1, g2 = self._grad_pair(types, params, x)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_random_grads(self):
+        types, params = _random_particles(P=5, depth=4, seed=7)
+        x = _x_rows(5, 64, per_row=False)
+        g1, g2 = self._grad_pair(types, params, x, seed=8)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=2e-4, atol=2e-4)
+
+
+class TestLmlBackendParity:
+    def test_lml_and_grads_match_jnp(self):
+        types, params = _random_particles(P=6, depth=4, seed=9)
+        P, n = 6, 64
+        x = _x_rows(P, n, per_row=False)
+        rngv = np.random.default_rng(11)
+        y = jnp.asarray(np.sin(6 * np.asarray(x)) +
+                        0.1 * rngv.standard_normal((P, n)).astype(np.float32),
+                        jnp.float32)
+        mask = jnp.broadcast_to(
+            (jnp.arange(n) < 50).astype(jnp.float32), (P, n))
+        log_noise = jnp.asarray(rngv.normal(-2, 0.3, P).astype(np.float32))
+
+        prior = lml_mod._LML_BACKEND
+        try:
+            lml_mod.set_lml_backend("mega")
+
+            def f_mega(p, ln):
+                return jnp.sum(lml_mod.gp_lml_batched(
+                    types, p, ln, x, y, mask))
+
+            v_mega = f_mega(params, log_noise)
+            g_mega = jax.grad(f_mega, argnums=(0, 1))(params, log_noise)
+            lml_mod.set_lml_backend("jnp")
+
+            def f_jnp(p, ln):
+                return jnp.sum(lml_mod.gp_lml_batched(
+                    types, p, ln, x, y, mask))
+
+            v_jnp = f_jnp(params, log_noise)
+            g_jnp = jax.grad(f_jnp, argnums=(0, 1))(params, log_noise)
+        finally:
+            lml_mod.set_lml_backend(prior)
+
+        np.testing.assert_allclose(float(v_mega), float(v_jnp), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(g_mega[0]),
+                                   np.asarray(g_jnp[0]),
+                                   rtol=2e-3, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(g_mega[1]),
+                                   np.asarray(g_jnp[1]),
+                                   rtol=2e-3, atol=2e-3)

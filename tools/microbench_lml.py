@@ -11,12 +11,16 @@ Usage: python tools/microbench_lml.py [--depth 5] [--cap 192] [--p 200]
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import time
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _time(f, *args, n=20, warmup=3):
@@ -106,6 +110,38 @@ def main():
     t_hf = _time(chol_fwd, Kmat)
     t_hg = _time(chol_grad, Kmat)
     print(f"chol     fwd {t_hf:7.2f} ms   grad {t_hg:7.2f} ms")
+
+    # ---- mega backend: fused batched Pallas covariance + XLA chol
+    from nowcastautogp_tpu.ops import pallas_megacov as mega
+
+    if mega.megacov_supported(types.shape[1], cap):
+        mega_fwd = jax.jit(
+            lambda p_: jnp.sum(mega.cov_batched_fused(types, p_, x)))
+        mega_grad = jax.jit(jax.grad(
+            lambda p_: jnp.sum(mega.cov_batched_fused(types, p_, x))))
+        t_mf = _time(mega_fwd, params)
+        t_mg = _time(mega_grad, params)
+        print(f"megacov  fwd {t_mf:7.2f} ms   grad {t_mg:7.2f} ms")
+
+        prior = lml_mod._LML_BACKEND
+        try:
+            lml_mod.set_lml_backend("mega")
+            lml_m_fwd = jax.jit(lambda p_, ln_: jnp.sum(
+                lml_mod.gp_lml_batched(types, p_, ln_, x, y, mask)))
+            lml_m_grad = jax.jit(jax.grad(
+                lambda p_, ln_: jnp.sum(
+                    lml_mod.gp_lml_batched(types, p_, ln_, x, y, mask)),
+                argnums=(0, 1)))
+            t_lmf = _time(lml_m_fwd, params, log_noise)
+            t_lmg = _time(lml_m_grad, params, log_noise)
+            print(f"LML mega fwd {t_lmf:7.2f} ms   grad {t_lmg:7.2f} ms")
+            # value sanity vs jnp
+            v1 = float(lml_m_fwd(params, log_noise))
+            lml_mod.set_lml_backend("jnp")
+            v2 = float(lml_fwd(params, log_noise))
+            print(f"value check: mega {v1:.4f} vs jnp {v2:.4f}")
+        finally:
+            lml_mod.set_lml_backend(prior)
 
     # ---- remat variant of the whole LML (cov recomputed in bwd)
     def lml_remat(p_, ln_):
