@@ -56,6 +56,18 @@ def default_prior() -> dict:
 
 @dataclasses.dataclass(eq=False)
 class GPConfig:
+    """Structure-prior / engine configuration (the reference's ``GP.GPConfig``).
+
+    ``max_depth``: tree depth cap in levels; ``-1`` (the default) resolves to
+    ``DEFAULT_DEPTH`` (5, a 31-slot heap).  NOTE this differs from the
+    reference, whose structure language composes without a depth bound
+    (``docs/vignettes/setting-priors.jl:17-21``): the heap encoding needs a
+    static shape, so depth is always capped here.  The statistical cost of
+    the cap is measured in PLAN.md's "depth study" (depth 5 vs 6 on the
+    bench workload); raise ``max_depth`` explicitly if your prior needs
+    deeper composition.
+    """
+
     node_dist_leaf: Sequence[float] = (0.0, 1.0 / 3, 0.0, 1.0 / 3, 1.0 / 3)
     node_dist_nocp: Sequence[float] = (0.6, 0.2, 0.2)
     node_dist_cp: Sequence[float] = (0.54, 0.18, 0.18, 0.1)

@@ -77,7 +77,10 @@ gp_lml = jax.jit(gp_lml_impl)
 #              (ops/pallas_chol.py); loses to XLA chol at bench shapes.
 #   "jnp"    — vmapped XLA end to end.
 #   "auto"   — "mega" on TPU when shapes qualify, else "jnp".
-_LML_BACKEND = "jnp"
+# Default "auto": the fused covariance measured 3.8 ms fwd / 8.4 ms
+# fwd+bwd at P=200, cap=192, depth 5 on the v5e vs 18.9 / ~70 ms for the
+# XLA interpreter path (tools/debug_mega.py; PLAN.md round-3 log).
+_LML_BACKEND = "auto"
 
 
 def set_lml_backend(name: str) -> None:
@@ -109,6 +112,19 @@ def _resolve_backend(n_nodes: int, n: int) -> str:
     return _LML_BACKEND
 
 
+# Cholesky/solve implementation for the batched _lml_from_K path:
+#   "xla"    — jnp.linalg.cholesky + cho_solve (While-loop expander)
+#   "static" — ops/chol_static.py trace-time Schur recursion (straight-line
+#              batched matmuls; see its module docstring for measurements)
+_CHOL_IMPL = "xla"
+
+
+def set_chol_impl(name: str) -> None:
+    global _CHOL_IMPL
+    assert name in ("xla", "static"), name
+    _CHOL_IMPL = name
+
+
 def _lml_from_K(K, log_noise, y, mask, jitter):
     """Batched masked LML given raw covariance K (P, n, n)."""
     mm = mask[:, :, None] * mask[:, None, :]
@@ -116,9 +132,15 @@ def _lml_from_K(K, log_noise, y, mask, jitter):
     diag = mask * (noise[:, None] + jitter) + (1.0 - mask)
     n = K.shape[-1]
     A = K * mm + diag[:, :, None] * jnp.eye(n, dtype=K.dtype)
-    L = jnp.linalg.cholesky(A)
     ym = y * mask
-    alpha = jax.scipy.linalg.cho_solve((L, True), ym[..., None])[..., 0]
+    if _CHOL_IMPL == "static" and n % 8 == 0:
+        from .chol_static import cho_solve_static, cholesky_static
+
+        L = cholesky_static(A)
+        alpha = cho_solve_static(L, ym)
+    else:
+        L = jnp.linalg.cholesky(A)
+        alpha = jax.scipy.linalg.cho_solve((L, True), ym[..., None])[..., 0]
     quad = jnp.einsum("pn,pn->p", ym, alpha)
     logdet = 2.0 * jnp.sum(
         jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)

@@ -32,18 +32,15 @@ V5E_PEAK_BF16_FLOPS = 197e12
 V5E_VPU_F32_FLOPS = 3.9e12  # 8x128 lanes x 4 ops x ~940 MHz
 
 
-def _segment_program_cost(P, cap, n_steps, config, n_mcmc, n_hmc,
-                          n_leapfrog):
-    """FLOPs of one capacity-bucketed ``smc_fit_device`` segment program.
+def _lml_program_costs(P, cap, config):
+    """(fwd_flops, grad_flops, fwd_bytes, grad_bytes) of one batched masked
+    LML evaluation / gradient at (P, cap), from XLA's cost model.
 
-    Lowers the jitted fit program at the segment's exact shapes/statics and
-    reads XLA's cost model.  Compilation hits the persistent cache when the
-    fit already ran these shapes.
+    Counts the algorithmic FLOPs of the backend-independent XLA ("jnp")
+    formulation — a Pallas custom call is opaque to XLA's cost model, so
+    costing the jnp program keeps MFU meaning "algorithm work / time"
+    (faster kernels then IMPROVE reported MFU, as they should).
     """
-    from functools import partial
-
-    from ..inference.device_smc import smc_fit_device
-    from ..models.structures_device import ancestor_table, config_arrays
     from ..ops import lml as lml_mod
 
     N = config.max_nodes
@@ -52,55 +49,52 @@ def _segment_program_cost(P, cap, n_steps, config, n_mcmc, n_hmc,
     params = jax.ShapeDtypeStruct((P, N, 3), f32)
     vec = jax.ShapeDtypeStruct((P,), f32)
     rows = jax.ShapeDtypeStruct((P, cap), f32)
-    masks = jax.ShapeDtypeStruct((n_steps, P, cap), f32)
-    key = jax.ShapeDtypeStruct((2,), jnp.uint32)
-    cfg = config_arrays(config)
-    anc = jnp.asarray(ancestor_table(N))
 
-    # Count the algorithmic FLOPs of the backend-independent XLA ("jnp")
-    # formulation — a Pallas custom call is opaque to XLA's cost model, so
-    # tracing with the jnp backend keeps MFU meaning "algorithm work / time"
-    # (faster kernels then IMPROVE reported MFU, as they should).  A fresh
-    # jit is used because the shared jitted entry caches traces across
-    # backend flips.
-    fresh = jax.jit(
-        smc_fit_device.__wrapped__,
-        static_argnames=("n_mcmc", "n_hmc", "n_leapfrog", "adaptive",
-                         "biased"),
-    )
+    def lml_sum(p_, ln_, t_, x_, y_, m_):
+        return jnp.sum(lml_mod.gp_lml_batched(t_, p_, ln_, x_, y_, m_))
+
     prior = lml_mod._LML_BACKEND
+    out = []
     try:
         lml_mod.set_lml_backend("jnp")
-        lowered = fresh.lower(
-            types, params, vec, vec, vec, vec, rows, rows, masks, key, cfg,
-            anc, n_mcmc=n_mcmc, n_hmc=n_hmc, n_leapfrog=n_leapfrog,
-            step_size=0.1, step_jitter=0.0, adaptive=False,
-        )
-        cost = lowered.compile().cost_analysis()
+        for fn in (jax.jit(lml_sum),
+                   jax.jit(jax.grad(lml_sum, argnums=(0, 1)))):
+            cost = fn.lower(params, vec, types, rows, rows, rows).compile(
+            ).cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            out.append((float(cost.get("flops", 0.0)),
+                        float(cost.get("bytes accessed", 0.0))))
     finally:
         lml_mod.set_lml_backend(prior)
-    if isinstance(cost, (list, tuple)):  # some backends wrap in a list
-        cost = cost[0]
-    return float(cost.get("flops", 0.0)), float(
-        cost.get("bytes accessed", 0.0))
+    return out[0][0], out[1][0], out[0][1], out[1][1]
 
 
 def fit_cost_analysis(*, P, config, schedule, cap_full, n_mcmc, n_hmc,
                       n_leapfrog):
     """Total (flops, bytes) of the capacity-bucketed device fit.
 
-    ``schedule``/``cap_full`` reproduce the exact segment programs via
-    ``inference.smc.schedule_segments``; each segment program executes once
-    (its scan covers the segment's steps internally).
+    XLA's ``cost_analysis`` counts a ``scan``/``while`` body ONCE, so
+    lowering the whole fused fit program undercounts by the trip counts.
+    Instead this costs one batched-LML forward and one gradient program per
+    capacity segment and multiplies by the engine's exact call counts:
+
+    per schedule step: 1 reweight forward; per structure move: 1 accept
+    forward + [1 initial + n_hmc x (n_leapfrog + 2)] gradient evaluations
+    (``inference/hmc.py``: one at trajectory start, one per leapfrog step,
+    one for the final Hamiltonian).
     """
     from ..inference.smc import schedule_segments
 
+    grads_per_move = (1 + n_hmc * (n_leapfrog + 2)) if n_hmc > 0 else 0
     total_flops, total_bytes = 0.0, 0.0
     for cap_seg, steps in schedule_segments(schedule, cap_full):
-        f, b = _segment_program_cost(
-            P, cap_seg, len(steps), config, n_mcmc, n_hmc, n_leapfrog)
-        total_flops += f
-        total_bytes += b
+        f_fwd, f_grad, b_fwd, b_grad = _lml_program_costs(P, cap_seg, config)
+        n_steps = len(steps)
+        fwd_calls = n_steps * (1 + n_mcmc)
+        grad_calls = n_steps * n_mcmc * grads_per_move
+        total_flops += fwd_calls * f_fwd + grad_calls * f_grad
+        total_bytes += fwd_calls * b_fwd + grad_calls * b_grad
     return total_flops, total_bytes
 
 
