@@ -31,9 +31,13 @@ __all__ = ["fit_smc"]
 logger = logging.getLogger("nowcastautogp_tpu")
 
 # Work budget per device call, in masked-LML-evaluation equivalents (a grad
-# counts ~2).  Chosen so one call stays ~10 s even at P=200 full capacity —
-# far below the TPU worker's execution watchdog.
-_MAX_CALL_UNITS = 350
+# counts ~2).  Calibrated against the fused-covariance backend (one unit
+# ~ 14 ms at P=200 full capacity, so one call stays well under the TPU
+# worker's execution watchdog; the round-2 crash was a single ~300 s call).
+# Round-2 value was 350 at ~45 ms/unit; the 2.5x faster hot op carries a
+# proportionally larger budget, which keeps canonical-class rejuvenation
+# (n_mcmc=35-50, n_hmc=3) on the fused capacity-bucketed path.
+_MAX_CALL_UNITS = 900
 
 
 def fit_smc(

@@ -181,6 +181,20 @@ def gp_lml_batched(node_types, params, log_noise, x, y, mask,
 gp_lml_batch = jax.jit(gp_lml_batched)
 
 
+def _gp_lml_batched_jnp(node_types, params, log_noise, x, y, mask,
+                        jitter=DEFAULT_JITTER):
+    return jax.vmap(gp_lml_impl, in_axes=(0, 0, 0, 0, 0, 0, None))(
+        node_types, params, log_noise, x, y, mask, jitter
+    )
+
+
+# Sharded callers (parallel/panel.py row-sharding over a Mesh) must stay on
+# the pure-XLA path: a pallas_call is a single-device program XLA cannot
+# partition, so the backend dispatch is bypassed here regardless of the
+# global setting.
+gp_lml_batch_sharded = jax.jit(_gp_lml_batched_jnp)
+
+
 def gp_predict(
     node_types, params, log_noise, x, y, mask, xs,
     jitter=DEFAULT_JITTER, include_noise=True,

@@ -12,6 +12,13 @@ Series are annealed on a shared proportion grid (each step conditions
 ``ceil(f_k * n_s)`` points of series ``s``), resampling is per-series (host
 index math, one device gather), and with a `jax.sharding.Mesh` the row axis
 shards across chips with zero cross-series collectives.
+
+Backend note: the reweight path pins the pure-XLA LML
+(``gp_lml_batch_sharded``) because a Pallas program cannot be partitioned
+across a mesh; the rejuvenation sweep resolves the global backend at trace
+time — on a multi-chip mesh run ``set_lml_backend("jnp")`` before the first
+panel fit (single-chip TPU and the CPU test mesh are unaffected: "auto"
+resolves to jnp off-TPU and panel row counts trace their own programs).
 """
 
 from __future__ import annotations
@@ -28,7 +35,7 @@ from ..inference.structure_mcmc import mcmc_structure_sweep
 from ..models.config import GPConfig, HMCConfig
 from ..models.gp_model import GPModel, _pad_to
 from ..models.structures import prior_arrays, sample_particle
-from ..ops.lml import DEFAULT_JITTER, gp_lml_batch
+from ..ops.lml import DEFAULT_JITTER, gp_lml_batch_sharded
 from ..fitting import _stabilize_for_fit
 from ..utils.dates import dates_to_float
 from .sharding import shard_rows
@@ -125,7 +132,7 @@ def fit_panel(
     for f in fractions:
         n_new = np.minimum(np.ceil(f * lens_row).astype(np.int64), lens_row)
         mask_b = jnp.asarray((iota[None, :] < n_new[:, None]).astype(np.float32))
-        lml_new = gp_lml_batch(
+        lml_new = gp_lml_batch_sharded(
             jnp.asarray(host_types), params, log_noise, x_b, y_b, mask_b,
             DEFAULT_JITTER,
         )

@@ -102,3 +102,26 @@ def test_non_spd_rejected_via_nan():
     lml_like = jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), -1)
     assert bool(jnp.isnan(lml_like[1]))
     assert bool(jnp.isfinite(lml_like[0])) and bool(jnp.isfinite(lml_like[2]))
+
+
+def test_lml_from_K_static_impl_matches():
+    from nowcastautogp_tpu.ops import lml as lml_mod
+
+    A = _spd(4, 64, seed=21)
+    # raw covariance without diag: _lml_from_K adds mask/noise/jitter itself
+    rng = np.random.default_rng(22)
+    K = A - 2 * jnp.eye(64)
+    y = jnp.asarray(rng.standard_normal((4, 64)).astype(np.float32))
+    mask = jnp.broadcast_to((jnp.arange(64) < 50).astype(jnp.float32),
+                            (4, 64))
+    ln = jnp.asarray(rng.normal(-2, 0.2, 4).astype(np.float32))
+    prior = lml_mod._CHOL_IMPL
+    try:
+        lml_mod.set_chol_impl("xla")
+        v1 = lml_mod._lml_from_K(K, ln, y, mask, 1e-5)
+        lml_mod.set_chol_impl("static")
+        v2 = lml_mod._lml_from_K(K, ln, y, mask, 1e-5)
+    finally:
+        lml_mod.set_chol_impl(prior)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                               rtol=1e-4, atol=1e-3)

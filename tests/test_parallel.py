@@ -114,7 +114,7 @@ class TestPanel:
         #1: guard was missing from the panel reweight)."""
         from nowcastautogp_tpu.parallel import panel as panel_mod
 
-        real_lml = panel_mod.gp_lml_batch
+        real_lml = panel_mod.gp_lml_batch_sharded
         calls = {"n": 0}
 
         def broken_first(*args, **kw):
@@ -132,7 +132,7 @@ class TestPanel:
             recorded.append((np.array(log_w, np.float64), np.array(idx)))
             return idx
 
-        monkeypatch.setattr(panel_mod, "gp_lml_batch", broken_first)
+        monkeypatch.setattr(panel_mod, "gp_lml_batch_sharded", broken_first)
         monkeypatch.setattr(panel_mod, "resample_indices", recording_resample)
         datasets = _panel(1, seed=12)
         models = fit_panel(

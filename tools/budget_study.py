@@ -93,6 +93,10 @@ CONFIGS = {
     # the bench's hardware-idiomatic operating point
     "bench_200_14x3": dict(n_particles=200, n_mcmc=14, n_hmc=3,
                            hmc=dict(n_leapfrog=3)),
+    # candidate raised operating point (round 3: the fused kernel makes
+    # 2.5x the rejuvenation affordable inside the 60 s envelope)
+    "bench_200_35x3": dict(n_particles=200, n_mcmc=35, n_hmc=3,
+                           hmc=dict(n_leapfrog=3)),
 }
 
 
