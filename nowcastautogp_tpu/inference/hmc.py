@@ -68,8 +68,14 @@ def _hmc_single(
 
     pot_and_grad = jax.value_and_grad(potential, argnums=(0, 1), has_aux=True)
 
+    # The potential's value AND gradient at the current point are carried
+    # across trajectories (on accept they come from the trajectory's own last
+    # leapfrog evaluation; on reject the carried ones stay valid), so each
+    # trajectory costs exactly ``n_leapfrog`` gradient evaluations instead of
+    # ``n_leapfrog + 2`` — the dominant fit cost at small n_leapfrog.
+
     def trajectory(carry, key_t):
-        p, ln, U, lml, scale = carry
+        p, ln, U0, lml, g_p, g_n, scale = carry
         k_eps, k_mom_p, k_mom_n, k_acc = jax.random.split(key_t, 4)
         eps = step_size * scale * (
             1.0 + step_jitter * (2.0 * jax.random.uniform(k_eps) - 1.0)
@@ -77,24 +83,23 @@ def _hmc_single(
         mom_p = jax.random.normal(k_mom_p, p.shape, p.dtype) * prior_active
         mom_n = jax.random.normal(k_mom_n, (), ln.dtype) * infer_noise
 
-        (U0, _), (g_p, g_n) = pot_and_grad(p, ln)
         K0 = 0.5 * (jnp.sum(mom_p * mom_p) + mom_n * mom_n)
 
         def leapfrog(i, state):
-            p_, ln_, mp, mn, gp_, gn_ = state
+            p_, ln_, mp, mn, gp_, gn_, U_, lml_ = state
             mp = mp - 0.5 * eps * gp_ * prior_active
             mn = mn - 0.5 * eps * gn_ * infer_noise
             p_ = p_ + eps * mp * prior_active
             ln_ = ln_ + eps * mn * infer_noise
-            (_, _), (gp_, gn_) = pot_and_grad(p_, ln_)
+            (U_, lml_), (gp_, gn_) = pot_and_grad(p_, ln_)
             mp = mp - 0.5 * eps * gp_ * prior_active
             mn = mn - 0.5 * eps * gn_ * infer_noise
-            return (p_, ln_, mp, mn, gp_, gn_)
+            return (p_, ln_, mp, mn, gp_, gn_, U_, lml_)
 
-        p1, ln1, mp1, mn1, _, _ = jax.lax.fori_loop(
-            0, n_leapfrog, leapfrog, (p, ln, mom_p, mom_n, g_p, g_n)
+        p1, ln1, mp1, mn1, gp1, gn1, U1, lml1 = jax.lax.fori_loop(
+            0, n_leapfrog, leapfrog,
+            (p, ln, mom_p, mom_n, g_p, g_n, U0, lml),
         )
-        (U1, lml1), _ = pot_and_grad(p1, ln1)
         K1 = 0.5 * (jnp.sum(mp1 * mp1) + mn1 * mn1)
         dH = (U0 + K0) - (U1 + K1)
         ok = jnp.isfinite(dH) & (
@@ -102,20 +107,23 @@ def _hmc_single(
         )
         p = jnp.where(ok, p1, p)
         ln = jnp.where(ok, ln1, ln)
-        U = jnp.where(ok, U1, U0)
+        U0 = jnp.where(ok, U1, U0)
         lml = jnp.where(ok, lml1, lml)
+        g_p = jnp.where(ok, gp1, g_p)
+        g_n = jnp.where(ok, gn1, g_n)
         scale = jnp.clip(
             scale * jnp.exp(
                 _ADAPT_RATE * (ok.astype(scale.dtype) - _TARGET_ACCEPT)
             ),
             _SCALE_BOUNDS[0], _SCALE_BOUNDS[1],
         )
-        return (p, ln, U, lml, scale), ok
+        return (p, ln, U0, lml, g_p, g_n, scale), ok
 
-    (U_init, lml_init), _ = pot_and_grad(params, log_noise)
+    (U_init, lml_init), (g_p0, g_n0) = pot_and_grad(params, log_noise)
     keys = jax.random.split(key, n_steps)
-    (p_f, ln_f, _, lml_f, scale_f), oks = jax.lax.scan(
-        trajectory, (params, log_noise, U_init, lml_init, eps_scale), keys
+    (p_f, ln_f, _, lml_f, _, _, scale_f), oks = jax.lax.scan(
+        trajectory,
+        (params, log_noise, U_init, lml_init, g_p0, g_n0, eps_scale), keys
     )
     return p_f, ln_f, lml_f, jnp.mean(oks.astype(jnp.float32)), scale_f
 
@@ -151,8 +159,13 @@ def _hmc_batched(
 
     pot_and_grad = jax.grad(potential, argnums=(0, 1), has_aux=True)
 
+    # As in ``_hmc_single``: value + gradient at the current point are carried
+    # across trajectories, so each trajectory costs exactly ``n_leapfrog``
+    # gradient evaluations (not ``n_leapfrog + 2``) — at the bench's
+    # n_hmc=3 x n_leapfrog=3 this removes a third of the fit's hot-op calls.
+
     def trajectory(carry, key_t):
-        p, ln, U, lml, scale = carry
+        p, ln, U0, lml, g_p, g_n, scale = carry
         k_eps, k_mom_p, k_mom_n, k_acc = jax.random.split(key_t, 4)
         eps = step_size * scale * (
             1.0 + step_jitter * (2.0 * jax.random.uniform(k_eps, (P,)) - 1.0)
@@ -161,45 +174,48 @@ def _hmc_batched(
         mom_p = jax.random.normal(k_mom_p, p.shape, p.dtype) * prior_active
         mom_n = jax.random.normal(k_mom_n, (P,), ln.dtype) * infer_noise
 
-        (g_p, g_n), (U0, _) = pot_and_grad(p, ln)
         K0 = 0.5 * (jnp.sum(mom_p * mom_p, axis=(1, 2)) + mom_n * mom_n)
 
         def leapfrog(i, state):
-            p_, ln_, mp, mn, gp_, gn_ = state
+            p_, ln_, mp, mn, gp_, gn_, U_, lml_ = state
             mp = mp - 0.5 * eps3 * gp_ * prior_active
             mn = mn - 0.5 * eps * gn_ * infer_noise
             p_ = p_ + eps3 * mp * prior_active
             ln_ = ln_ + eps * mn * infer_noise
-            (gp_, gn_), _ = pot_and_grad(p_, ln_)
+            (gp_, gn_), (U_, lml_) = pot_and_grad(p_, ln_)
             mp = mp - 0.5 * eps3 * gp_ * prior_active
             mn = mn - 0.5 * eps * gn_ * infer_noise
-            return (p_, ln_, mp, mn, gp_, gn_)
+            return (p_, ln_, mp, mn, gp_, gn_, U_, lml_)
 
-        p1, ln1, mp1, mn1, _, _ = jax.lax.fori_loop(
-            0, n_leapfrog, leapfrog, (p, ln, mom_p, mom_n, g_p, g_n)
+        p1, ln1, mp1, mn1, gp1, gn1, U1, lml1 = jax.lax.fori_loop(
+            0, n_leapfrog, leapfrog,
+            (p, ln, mom_p, mom_n, g_p, g_n, U0, lml),
         )
-        _, (U1, lml1) = pot_and_grad(p1, ln1)
         K1 = 0.5 * (jnp.sum(mp1 * mp1, axis=(1, 2)) + mn1 * mn1)
         dH = (U0 + K0) - (U1 + K1)
         ok = jnp.isfinite(dH) & (
             jnp.log(jax.random.uniform(k_acc, (P,))) < jnp.minimum(dH, 0.0)
         )
-        p = jnp.where(ok[:, None, None], p1, p)
+        ok3 = ok[:, None, None]
+        p = jnp.where(ok3, p1, p)
         ln = jnp.where(ok, ln1, ln)
-        U = jnp.where(ok, U1, U0)
+        U0 = jnp.where(ok, U1, U0)
         lml = jnp.where(ok, lml1, lml)
+        g_p = jnp.where(ok3, gp1, g_p)
+        g_n = jnp.where(ok, gn1, g_n)
         scale = jnp.clip(
             scale * jnp.exp(
                 _ADAPT_RATE * (ok.astype(scale.dtype) - _TARGET_ACCEPT)
             ),
             _SCALE_BOUNDS[0], _SCALE_BOUNDS[1],
         )
-        return (p, ln, U, lml, scale), ok
+        return (p, ln, U0, lml, g_p, g_n, scale), ok
 
-    _, (U_init, lml_init) = pot_and_grad(params, log_noise)
+    (g_p0, g_n0), (U_init, lml_init) = pot_and_grad(params, log_noise)
     keys = jax.random.split(key, n_steps)
-    (p_f, ln_f, _, lml_f, scale_f), oks = jax.lax.scan(
-        trajectory, (params, log_noise, U_init, lml_init, eps_scale), keys
+    (p_f, ln_f, _, lml_f, _, _, scale_f), oks = jax.lax.scan(
+        trajectory,
+        (params, log_noise, U_init, lml_init, g_p0, g_n0, eps_scale), keys
     )
     return (p_f, ln_f, lml_f,
             jnp.mean(oks.astype(jnp.float32), axis=0), scale_f)

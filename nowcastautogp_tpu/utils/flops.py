@@ -80,13 +80,13 @@ def fit_cost_analysis(*, P, config, schedule, cap_full, n_mcmc, n_hmc,
     capacity segment and multiplies by the engine's exact call counts:
 
     per schedule step: 1 reweight forward; per structure move: 1 accept
-    forward + [1 initial + n_hmc x (n_leapfrog + 2)] gradient evaluations
-    (``inference/hmc.py``: one at trajectory start, one per leapfrog step,
-    one for the final Hamiltonian).
+    forward + [1 initial + n_hmc x n_leapfrog] gradient evaluations
+    (``inference/hmc.py``: the potential's value and gradient are carried
+    across trajectories, so each leapfrog step is the only evaluation site).
     """
     from ..inference.smc import schedule_segments
 
-    grads_per_move = (1 + n_hmc * (n_leapfrog + 2)) if n_hmc > 0 else 0
+    grads_per_move = (1 + n_hmc * n_leapfrog) if n_hmc > 0 else 0
     total_flops, total_bytes = 0.0, 0.0
     for cap_seg, steps in schedule_segments(schedule, cap_full):
         f_fwd, f_grad, b_fwd, b_grad = _lml_program_costs(P, cap_seg, config)
