@@ -82,7 +82,9 @@ def fit_smc(
     # must stay well under the TPU worker's execution watchdog (a fused
     # 50x50 canonical sweep in one program crashed the worker), so large
     # budgets run per-step with move-chunked rejuvenation sweeps
-    units_per_move = 1 + n_hmc * (hmc_cfg.n_leapfrog + 1) * 2
+    # 1 accept fwd + (1 initial + n_hmc x n_leapfrog) grads at ~2 units each
+    # (inference/hmc.py carries value+grad across trajectories)
+    units_per_move = 3 + n_hmc * hmc_cfg.n_leapfrog * 2
     per_step_units = max(n_mcmc, 1) * units_per_move
     # capacity bucketing already splits the fused program into per-segment
     # calls, so the whole-schedule bound is generous; the per-step bound is

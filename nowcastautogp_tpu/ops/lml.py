@@ -116,13 +116,30 @@ def _resolve_backend(n_nodes: int, n: int) -> str:
 #   "xla"    — jnp.linalg.cholesky + cho_solve (While-loop expander)
 #   "static" — ops/chol_static.py trace-time Schur recursion (straight-line
 #              batched matmuls; see its module docstring for measurements)
+#   "auto"   — currently "xla" everywhere (kept for forward compat)
+# Default "xla", by measurement IN CONTEXT: standalone on a raw SPD batch
+# the static recursion crushes the expander (LML fwd 3.7 ms vs 12.4, grad
+# 5.6 vs 17.6 at (200,192,192) — tools/microbench_chol.py), but composed
+# with the fused Pallas covariance in the real LML program it LOSES
+# (fwd 19.5 vs 14.9, grad 47.2 vs 24.2; fit 12.8 s -> 30.4 s): the
+# slice/concat recursion forces relayout copies around the Pallas
+# custom-call boundary that XLA's one-buffer cholesky op never pays.
+# NOTE ``set_chol_impl`` must be called before jitted callers first trace —
+# module-level jit caches (``gp_lml_batch``, the fit programs) do not
+# retrace on a later flip.
 _CHOL_IMPL = "xla"
 
 
 def set_chol_impl(name: str) -> None:
     global _CHOL_IMPL
-    assert name in ("xla", "static"), name
+    assert name in ("auto", "xla", "static"), name
     _CHOL_IMPL = name
+
+
+def _resolve_chol_impl() -> str:
+    if _CHOL_IMPL == "auto":
+        return "xla"
+    return _CHOL_IMPL
 
 
 def _lml_from_K(K, log_noise, y, mask, jitter):
@@ -133,7 +150,7 @@ def _lml_from_K(K, log_noise, y, mask, jitter):
     n = K.shape[-1]
     A = K * mm + diag[:, :, None] * jnp.eye(n, dtype=K.dtype)
     ym = y * mask
-    if _CHOL_IMPL == "static" and n % 8 == 0:
+    if _resolve_chol_impl() == "static" and n % 8 == 0:
         from .chol_static import cho_solve_static, cholesky_static
 
         L = cholesky_static(A)

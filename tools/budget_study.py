@@ -97,6 +97,13 @@ CONFIGS = {
     # 2.5x the rejuvenation affordable inside the 60 s envelope)
     "bench_200_35x3": dict(n_particles=200, n_mcmc=35, n_hmc=3,
                            hmc=dict(n_leapfrog=3)),
+    # HMC-depth candidates: 35x3 shows more structure moves alone don't
+    # close the canonical gap on the hard family — canonical's n_hmc=50
+    # (x n_leapfrog=5) suggests parameter-refinement depth is what matters
+    "bench_200_14x10": dict(n_particles=200, n_mcmc=14, n_hmc=10,
+                            hmc=dict(n_leapfrog=3)),
+    "bench_200_14x5_lf5": dict(n_particles=200, n_mcmc=14, n_hmc=5,
+                               hmc=dict(n_leapfrog=5)),
 }
 
 

@@ -42,9 +42,9 @@ def run_one(seed, n_train=150, horizon=8, draws=2000):
     t0 = time.time()
     model = ngp.make_and_fit_model(
         data, n_particles=200, smc_data_proportion=0.1,
-        n_mcmc=14, n_hmc=3, seed=seed,
+        n_mcmc=14, n_hmc=5, seed=seed,
         config=ngp.GPConfig(max_depth=5),
-        hmc_config=ngp.HMCConfig(n_leapfrog=3),
+        hmc_config=ngp.HMCConfig(n_leapfrog=5),
     )
     fit_s = time.time() - t0
     fc = ngp.forecast(model, dates[n_train:], draws, inv_transformation=inv)
