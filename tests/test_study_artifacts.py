@@ -1,0 +1,76 @@
+"""Regression pins on the committed TPU study artifacts.
+
+Three study result files back the claims the bench operating point rests
+on (PLAN.md round-3 log); these tests pin their structure and the
+conclusions' load-bearing facts so the claims cannot silently rot:
+
+* ``tools/budget_study_results.json`` — 5 seeds x 2 families x 5 configs;
+  the shipped bench config (200p, 14x5, leapfrog 5) must remain within
+  one pooled standard deviation of canonical 24p-50x50 on each family.
+* ``tools/depth_study_results.json`` — depth-5 vs depth-6 CRPS parity.
+* ``tools/calibration_study_results.json`` — 20-seed empirical coverage;
+  nominal-90 intervals must not UNDER-cover by more than 2 binomial se.
+"""
+
+import json
+import os
+
+import numpy as np
+
+_TOOLS = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+
+
+def _load(name):
+    with open(os.path.join(_TOOLS, name)) as f:
+        return json.load(f)
+
+
+class TestBudgetStudyArtifact:
+    def test_structure(self):
+        rows = _load("budget_study_results.json")
+        fams = {r["family"] for r in rows}
+        cfgs = {r["config"] for r in rows}
+        assert {"nhsn_like", "seir_wave"} <= fams
+        assert {"canonical_24_50x50", "bench_200_14x5_lf5"} <= cfgs
+        for fam in ("nhsn_like", "seir_wave"):
+            n = len([r for r in rows
+                     if r["family"] == fam
+                     and r["config"] == "canonical_24_50x50"])
+            assert n >= 5, fam
+
+    def test_shipped_config_matches_canonical_within_dispersion(self):
+        rows = _load("budget_study_results.json")
+        for fam in ("nhsn_like", "seir_wave"):
+            canon = [r["log_crps"] for r in rows
+                     if r["family"] == fam
+                     and r["config"] == "canonical_24_50x50"]
+            shipped = [r["log_crps"] for r in rows
+                       if r["family"] == fam
+                       and r["config"] == "bench_200_14x5_lf5"]
+            gap = float(np.mean(shipped)) - float(np.mean(canon))
+            spread = max(float(np.std(canon)), float(np.std(shipped)))
+            assert gap <= spread, (fam, gap, spread)
+
+
+class TestDepthStudyArtifact:
+    def test_depth_cap_parity(self):
+        rows = _load("depth_study_results.json")
+        d5 = [r["log_crps"] for r in rows if r["depth_cap"] == 5]
+        d6 = [r["log_crps"] for r in rows if r["depth_cap"] == 6]
+        assert len(d5) >= 3 and len(d6) >= 3
+        # the cap's cost claim: depth 6 does not improve CRPS beyond the
+        # pooled seed spread
+        spread = max(float(np.std(d5)), float(np.std(d6)), 1e-3)
+        assert abs(float(np.mean(d6)) - float(np.mean(d5))) <= spread
+
+
+class TestCalibrationStudyArtifact:
+    def test_coverage_not_undercovering(self):
+        rows = _load("calibration_study_results.json")
+        assert len(rows) >= 20
+        hits = [h for r in rows for h in r["hits"]["0.9"]]
+        n = len(hits)
+        emp = sum(hits) / n
+        se = (0.9 * 0.1 / n) ** 0.5
+        assert emp >= 0.9 - 2 * se, (emp, se)
