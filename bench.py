@@ -150,7 +150,7 @@ def main():
         schedule = linear_schedule(150, 0.1)
         flops, _ = fit_cost_analysis(
             P=200, config=ngp.GPConfig(max_depth=5), schedule=schedule,
-            cap_full=192, n_mcmc=N_MCMC, n_hmc=N_HMC, n_leapfrog=N_LEAPFROG)
+            cap_full=160, n_mcmc=N_MCMC, n_hmc=N_HMC, n_leapfrog=N_LEAPFROG)
         mfu_detail = mfu(flops, fit_s)
     except Exception as e:  # cost model unavailable on some backends
         mfu_detail = {"mfu_error": type(e).__name__}

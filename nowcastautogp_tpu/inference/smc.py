@@ -24,6 +24,7 @@ import logging
 import time
 
 from ..models.config import HMCConfig
+from ..models.gp_model import _PAD
 from ..utils.profiling import phase
 
 __all__ = ["fit_smc"]
@@ -137,7 +138,8 @@ def fit_smc(
 
 def schedule_segments(schedule, cap_full):
     """Group consecutive schedule steps by the smallest sufficient
-    64-multiple capacity (the capacity-bucketing rule of ``_fit_device``).
+    ``_PAD``-multiple capacity (the capacity-bucketing rule of
+    ``_fit_device``).
 
     Returns ``[(cap, [n_k, ...]), ...]``; exported so cost accounting
     (``utils/flops.py``, bench MFU) can reproduce the exact programs a fit
@@ -147,7 +149,7 @@ def schedule_segments(schedule, cap_full):
 
     segments: list[tuple[int, list[int]]] = []
     for n_k in schedule:
-        cap_k = min(cap_full, max(64, int(np.ceil(n_k / 64)) * 64))
+        cap_k = min(cap_full, max(64, int(np.ceil(n_k / _PAD)) * _PAD))
         if segments and segments[-1][0] == cap_k:
             segments[-1][1].append(int(n_k))
         else:
@@ -162,7 +164,7 @@ def _fit_device(model, schedule, n_mcmc, n_hmc, hmc_cfg,
     Capacity bucketing: the masked fixed-capacity design pays O(cap^2)
     covariance and O(cap^3) Cholesky cost regardless of how few points a
     step has ingested, so the schedule is split into segments that run on
-    the smallest sufficient 64-multiple buffer (one compiled program per
+    the smallest sufficient ``_PAD``-multiple buffer (one compiled program per
     (cap, n_steps) shape; early steps on a 150-week series cost ~1/9th of
     full-capacity steps).  Masked LML is invariant to the trailing padding,
     so weights/LML carry across segments unchanged.
@@ -181,7 +183,7 @@ def _fit_device(model, schedule, n_mcmc, n_hmc, hmc_cfg,
     # group consecutive schedule steps by the capacity they need
     segments: list[tuple[int, list[int]]] = []
     for n_k in schedule:
-        cap_k = min(cap_full, max(64, int(np.ceil(n_k / 64)) * 64))
+        cap_k = min(cap_full, max(64, int(np.ceil(n_k / _PAD)) * _PAD))
         if segments and segments[-1][0] == cap_k:
             segments[-1][1].append(int(n_k))
         else:

@@ -31,7 +31,7 @@ from .inference.resample import ess as _ess
 from .inference.resample import gather_particles, resample_indices
 from .models.config import HMCConfig
 from .models.gp_model import (
-    GPModel, add_data, maybe_resample, mcmc_parameters, mcmc_structure,
+    GPModel, _PAD, add_data, maybe_resample, mcmc_parameters, mcmc_structure,
 )
 from .models.structures import prior_arrays
 from .ops.lml import (
@@ -304,7 +304,7 @@ def _forecast_with_nowcasts_shared_chol(
     m_nc = len(nc_ds)
     x_nc = base_model._normalize_dates(nc_ds)
     n_new = n0 + m_nc
-    cap = max(base_model._cap, int(np.ceil(n_new / 64)) * 64)
+    cap = max(base_model._cap, int(np.ceil(n_new / _PAD)) * _PAD)
 
     x_row = np.zeros(cap, dtype=np.float32)
     x_row[:n0] = np.asarray(base_model._x_d)[:n0]
@@ -358,7 +358,7 @@ def _forecast_with_nowcasts_batched(
     m_nc = len(nc_ds)
     x_nc = base_model._normalize_dates(nc_ds)
     n_new = n0 + m_nc
-    cap = max(base_model._cap, int(np.ceil(n_new / 64)) * 64)
+    cap = max(base_model._cap, int(np.ceil(n_new / _PAD)) * _PAD)
 
     x_row = np.zeros(cap, dtype=np.float32)
     x_row[:n0] = np.asarray(base_model._x_d)[:n0]

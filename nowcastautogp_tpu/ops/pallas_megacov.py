@@ -89,8 +89,11 @@ def _chunk_for(n: int, n_nodes: int, n_scratch: int) -> int:
     (plus block operands) under the VMEM budget."""
     n_pad = int(math.ceil(n / 128)) * 128
     per_particle = n_nodes * n * n_pad * 4
+    # 24 MB reserve for the pipelined in/out blocks + compiler stack: the
+    # old 12 MB margin OOMed at n=160/C=16 (scoped alloc 102.7M vs the
+    # 100M limit — non-128-multiple n pays a 1.6x lane-padding ratio)
     for c in (16, 8, 4, 2, 1):
-        if n_scratch * c * per_particle <= _VMEM_LIMIT - 12 * 1024 * 1024:
+        if n_scratch * c * per_particle <= _VMEM_LIMIT - 24 * 1024 * 1024:
             return c
     return 1
 
