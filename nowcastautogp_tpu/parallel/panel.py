@@ -33,7 +33,7 @@ from ..inference.resample import gather_particles, resample_indices
 from ..inference.schedule import linear_schedule
 from ..inference.structure_mcmc import mcmc_structure_sweep
 from ..models.config import GPConfig, HMCConfig
-from ..models.gp_model import GPModel, _pad_to
+from ..models.gp_model import GPModel, _PAD, _pad_to
 from ..models.structures import prior_arrays, sample_particle
 from ..ops.lml import DEFAULT_JITTER, gp_lml_batch_sharded
 from ..fitting import _stabilize_for_fit
@@ -74,7 +74,7 @@ def fit_panel(
 
     # ---- per-series normalization + shared-capacity padded buffers
     lens = [len(d.y) for d in datasets]
-    cap = max(64, int(np.ceil(max(lens) / 64)) * 64)
+    cap = max(64, int(np.ceil(max(lens) / _PAD)) * _PAD)
     norms, x_rows_s, y_rows_s, orders, y_fits = [], [], [], [], []
     for d in datasets:
         t_raw = dates_to_float(d.ds)

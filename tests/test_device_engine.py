@@ -216,3 +216,59 @@ class TestAdaptiveHMC:
         del d["hmc_eps_scale"]
         m3 = ngp.GPModel(d)
         np.testing.assert_allclose(np.asarray(m3._eps_scale_d), 1.0)
+
+
+class TestHMCCachedState:
+    """Regression for the carried value+gradient HMC (inference/hmc.py):
+    the lml returned from a sweep is a CARRIED value (selected on accept
+    from the last leapfrog evaluation, kept on reject) — it must equal a
+    fresh LML evaluation of the returned state, or the SMC reweight that
+    consumes the cache would drift from the true weights."""
+
+    def test_cached_lml_matches_fresh_evaluation(self):
+        import jax
+        import jax.numpy as jnp
+
+        from nowcastautogp_tpu.inference.hmc import _hmc_batched
+        from nowcastautogp_tpu.models.config import GPConfig
+        from nowcastautogp_tpu.models.structures import (
+            prior_arrays, sample_particle,
+        )
+
+        cfg = GPConfig(max_depth=3)
+        P, cap = 3, 64
+        parts = [sample_particle(np.random.default_rng(i), cfg)
+                 for i in range(P)]
+        types = jnp.asarray(np.stack([p[0] for p in parts]))
+        params = jnp.asarray(np.stack([p[1] for p in parts])
+                             .astype(np.float32))
+        ln = jnp.asarray(np.full(P, -2.0, np.float32))
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(np.broadcast_to(
+            np.linspace(0, 1, cap, dtype=np.float32), (P, cap)))
+        y = jnp.asarray(np.broadcast_to(
+            np.sin(7 * np.linspace(0, 1, cap)).astype(np.float32), (P, cap)))
+        mask = jnp.asarray(np.broadcast_to(
+            (np.arange(cap) < 40).astype(np.float32), (P, cap)))
+        mu_np, sg_np, act_np = prior_arrays(np.asarray(types), cfg)
+        mu = jnp.asarray(mu_np.astype(np.float32))
+        sg = jnp.asarray(sg_np.astype(np.float32))
+        act = jnp.asarray(act_np.astype(np.float32))
+        key = jax.random.PRNGKey(7)
+        scale = jnp.ones(P, jnp.float32)
+        args = dict(n_steps=3, n_leapfrog=2, step_size=0.01,
+                    step_jitter=0.0, jitter=1e-5, noise_mu=-2.0,
+                    noise_sigma=1.0, infer_noise=1.0)
+
+        pb, lnb, lmlb, rateb, scaleb = _hmc_batched(
+            types, params, ln, mu, sg, act, x, y, mask, key, scale,
+            args["n_steps"], args["n_leapfrog"], args["step_size"],
+            args["step_jitter"], args["jitter"], args["noise_mu"],
+            args["noise_sigma"], args["infer_noise"])
+
+        from nowcastautogp_tpu.ops.lml import gp_lml_batch
+
+        assert np.all(np.isfinite(np.asarray(pb)))
+        lml_fresh = gp_lml_batch(types, pb, lnb, x, y, mask)
+        np.testing.assert_allclose(
+            np.asarray(lmlb), np.asarray(lml_fresh), rtol=2e-4, atol=2e-3)
