@@ -113,33 +113,84 @@ def _resolve_backend(n_nodes: int, n: int) -> str:
 
 
 # Cholesky/solve implementation for the batched _lml_from_K path:
-#   "xla"    — jnp.linalg.cholesky + cho_solve (While-loop expander)
+#   "xla"    — jnp.linalg.cholesky + cho_solve (While-loop expander), XLA
+#              autodiff through the factorization
+#   "inv"    — cholesky + batched n-RHS triangular solve against I; the
+#              backward is the analytic elementwise
+#              dA = c·0.5(αα^T − A^{-1}) from cached residuals (custom VJP,
+#              no autodiff through the factorization)
 #   "static" — ops/chol_static.py trace-time Schur recursion (straight-line
 #              batched matmuls; see its module docstring for measurements)
-#   "auto"   — currently "xla" everywhere (kept for forward compat)
-# Default "xla", by measurement IN CONTEXT: standalone on a raw SPD batch
-# the static recursion crushes the expander (LML fwd 3.7 ms vs 12.4, grad
-# 5.6 vs 17.6 at (200,192,192) — tools/microbench_chol.py), but composed
-# with the fused Pallas covariance in the real LML program it LOSES
-# (fwd 19.5 vs 14.9, grad 47.2 vs 24.2; fit 12.8 s -> 30.4 s): the
-# slice/concat recursion forces relayout copies around the Pallas
-# custom-call boundary that XLA's one-buffer cholesky op never pays.
-# NOTE ``set_chol_impl`` must be called before jitted callers first trace —
-# module-level jit caches (``gp_lml_batch``, the fit programs) do not
-# retrace on a later flip.
-_CHOL_IMPL = "xla"
+#   "auto"   — "inv" on TPU, "xla" elsewhere
+# Measurements IN CONTEXT (composed with the fused Pallas covariance in the
+# real LML value_and_grad, fresh jits, v5e, P=200 n=192 depth 5 —
+# tools/microbench_inv.py):
+#   xla    fwd 14.6 ms  vgrad 23.5 ms   (shipped through round 3 mid)
+#   inv    fwd 14.8 ms  vgrad 18.1 ms   <- default on TPU
+#   static fwd 18.1 ms  vgrad 21.4 ms   (standalone 3.6/3.9 ms (!) but the
+#          slice/concat recursion forces relayout copies around the Pallas
+#          custom-call boundary — loses composed even with the analytic VJP)
+# The "inv" forward is the same latency as "xla" (the batched cholesky
+# dominates; the n-RHS trtri + L^{-T}L^{-1} matmul ride the MXU for ~free)
+# and the backward drops from ~9 ms of cholesky/solve autodiff to an outer
+# product.  NOTE ``set_chol_impl`` must be called before jitted callers
+# first trace — module-level jit caches (``gp_lml_batch``, the fit
+# programs) do not retrace on a later flip.
+_CHOL_IMPL = "auto"
 
 
 def set_chol_impl(name: str) -> None:
     global _CHOL_IMPL
-    assert name in ("auto", "xla", "static"), name
+    assert name in ("auto", "xla", "inv", "static"), name
     _CHOL_IMPL = name
 
 
 def _resolve_chol_impl() -> str:
     if _CHOL_IMPL == "auto":
-        return "xla"
+        return "inv" if _on_tpu() else "xla"
     return _CHOL_IMPL
+
+
+_PREC_HI = jax.lax.Precision.HIGHEST
+
+
+@jax.custom_vjp
+def _lml_core_inv(A, ym):
+    """-0.5(ym^T A^{-1} ym + logdet A) with analytic elementwise backward.
+
+    Forward materializes A^{-1} (cholesky -> batched triangular solve
+    against I -> L^{-T}L^{-1}); the residuals (A^{-1}, α) make the backward
+    dA = c·0.5(αα^T − A^{-1}), dym = −c·α — no autodiff through the
+    latency-bound cholesky/solve expansions.  Non-SPD inputs produce NaN
+    exactly like the cho_solve path and are caught by the caller's
+    isfinite → −1e10 guard.
+    """
+    out, _ = _lml_core_inv_fwd(A, ym)
+    return out
+
+
+def _lml_core_inv_fwd(A, ym):
+    L = jnp.linalg.cholesky(A)
+    n = A.shape[-1]
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=A.dtype), A.shape)
+    Linv = jax.lax.linalg.triangular_solve(L, eye, left_side=True, lower=True)
+    Ainv = jnp.einsum("pki,pkj->pij", Linv, Linv, precision=_PREC_HI)
+    alpha = jnp.einsum("pij,pj->pi", Ainv, ym, precision=_PREC_HI)
+    quad = jnp.einsum("pn,pn->p", ym, alpha)
+    logdet = 2.0 * jnp.sum(
+        jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
+    return -0.5 * (quad + logdet), (Ainv, alpha)
+
+
+def _lml_core_inv_bwd(res, c):
+    Ainv, alpha = res
+    dA = (0.5 * c[:, None, None]) * (
+        jnp.einsum("pi,pj->pij", alpha, alpha) - Ainv)
+    dym = -c[:, None] * alpha
+    return dA, dym
+
+
+_lml_core_inv.defvjp(_lml_core_inv_fwd, _lml_core_inv_bwd)
 
 
 def _lml_from_K(K, log_noise, y, mask, jitter):
@@ -150,7 +201,13 @@ def _lml_from_K(K, log_noise, y, mask, jitter):
     n = K.shape[-1]
     A = K * mm + diag[:, :, None] * jnp.eye(n, dtype=K.dtype)
     ym = y * mask
-    if _resolve_chol_impl() == "static" and n % 8 == 0:
+    impl = _resolve_chol_impl()
+    n_active = jnp.sum(mask, axis=-1)
+    if impl == "inv":
+        core = _lml_core_inv(A, ym)
+        lml = core - 0.5 * n_active * LOG_2PI
+        return jnp.where(jnp.isfinite(lml), lml, -1e10)
+    if impl == "static" and n % 8 == 0:
         from .chol_static import cho_solve_static, cholesky_static
 
         L = cholesky_static(A)
@@ -161,7 +218,6 @@ def _lml_from_K(K, log_noise, y, mask, jitter):
     quad = jnp.einsum("pn,pn->p", ym, alpha)
     logdet = 2.0 * jnp.sum(
         jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
-    n_active = jnp.sum(mask, axis=-1)
     lml = -0.5 * (quad + logdet + n_active * LOG_2PI)
     return jnp.where(jnp.isfinite(lml), lml, -1e10)
 
