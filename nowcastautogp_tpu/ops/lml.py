@@ -119,6 +119,9 @@ def _resolve_backend(n_nodes: int, n: int) -> str:
 #              backward is the analytic elementwise
 #              dA = c·0.5(αα^T − A^{-1}) from cached residuals (custom VJP,
 #              no autodiff through the factorization)
+#   "panel"  — like "inv" but the factorization is ops/chol_panel.py's
+#              layout-stable 32-wide panel recursion instead of the
+#              While-loop expander (falls back to "inv" when n % 32 != 0)
 #   "static" — ops/chol_static.py trace-time Schur recursion (straight-line
 #              batched matmuls; see its module docstring for measurements)
 #   "auto"   — "inv" on TPU, "xla" elsewhere
@@ -141,7 +144,7 @@ _CHOL_IMPL = "auto"
 
 def set_chol_impl(name: str) -> None:
     global _CHOL_IMPL
-    assert name in ("auto", "xla", "inv", "static"), name
+    assert name in ("auto", "xla", "inv", "panel", "static"), name
     _CHOL_IMPL = name
 
 
@@ -154,43 +157,66 @@ def _resolve_chol_impl() -> str:
 _PREC_HI = jax.lax.Precision.HIGHEST
 
 
-@jax.custom_vjp
-def _lml_core_inv(A, ym):
-    """-0.5(ym^T A^{-1} ym + logdet A) with analytic elementwise backward.
-
-    Forward materializes A^{-1} (cholesky -> batched triangular solve
-    against I -> L^{-T}L^{-1}); the residuals (A^{-1}, α) make the backward
-    dA = c·0.5(αα^T − A^{-1}), dym = −c·α — no autodiff through the
-    latency-bound cholesky/solve expansions.  Non-SPD inputs produce NaN
-    exactly like the cho_solve path and are caught by the caller's
-    isfinite → −1e10 guard.
-    """
-    out, _ = _lml_core_inv_fwd(A, ym)
-    return out
-
-
-def _lml_core_inv_fwd(A, ym):
+def _ainv_logdet_xla(A):
+    """A → (A^{-1}, logdet) via the XLA While-loop expander Cholesky."""
     L = jnp.linalg.cholesky(A)
     n = A.shape[-1]
     eye = jnp.broadcast_to(jnp.eye(n, dtype=A.dtype), A.shape)
     Linv = jax.lax.linalg.triangular_solve(L, eye, left_side=True, lower=True)
     Ainv = jnp.einsum("pki,pkj->pij", Linv, Linv, precision=_PREC_HI)
-    alpha = jnp.einsum("pij,pj->pi", Ainv, ym, precision=_PREC_HI)
-    quad = jnp.einsum("pn,pn->p", ym, alpha)
     logdet = 2.0 * jnp.sum(
         jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
-    return -0.5 * (quad + logdet), (Ainv, alpha)
+    return Ainv, logdet
 
 
-def _lml_core_inv_bwd(res, c):
-    Ainv, alpha = res
-    dA = (0.5 * c[:, None, None]) * (
-        jnp.einsum("pi,pj->pij", alpha, alpha) - Ainv)
-    dym = -c[:, None] * alpha
-    return dA, dym
+def _ainv_logdet_panel(A):
+    """A → (A^{-1}, logdet) via the layout-stable panel factorization."""
+    from .chol_panel import cholesky_panel
+
+    L = cholesky_panel(A)
+    n = A.shape[-1]
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=A.dtype), A.shape)
+    Linv = jax.lax.linalg.triangular_solve(L, eye, left_side=True, lower=True)
+    Ainv = jnp.einsum("pki,pkj->pij", Linv, Linv, precision=_PREC_HI)
+    logdet = 2.0 * jnp.sum(
+        jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
+    return Ainv, logdet
 
 
-_lml_core_inv.defvjp(_lml_core_inv_fwd, _lml_core_inv_bwd)
+def _make_inv_core(ainv_logdet):
+    """-0.5(ym^T A^{-1} ym + logdet A) with analytic elementwise backward.
+
+    Forward materializes A^{-1} through ``ainv_logdet``; the residuals
+    (A^{-1}, α) make the backward dA = c·0.5(αα^T − A^{-1}), dym = −c·α —
+    no autodiff through the latency-bound cholesky/solve expansions.
+    Non-SPD inputs produce NaN exactly like the cho_solve path and are
+    caught by the caller's isfinite → −1e10 guard.
+    """
+
+    @jax.custom_vjp
+    def core(A, ym):
+        out, _ = fwd(A, ym)
+        return out
+
+    def fwd(A, ym):
+        Ainv, logdet = ainv_logdet(A)
+        alpha = jnp.einsum("pij,pj->pi", Ainv, ym, precision=_PREC_HI)
+        quad = jnp.einsum("pn,pn->p", ym, alpha)
+        return -0.5 * (quad + logdet), (Ainv, alpha)
+
+    def bwd(res, c):
+        Ainv, alpha = res
+        dA = (0.5 * c[:, None, None]) * (
+            jnp.einsum("pi,pj->pij", alpha, alpha) - Ainv)
+        dym = -c[:, None] * alpha
+        return dA, dym
+
+    core.defvjp(fwd, bwd)
+    return core
+
+
+_lml_core_inv = _make_inv_core(_ainv_logdet_xla)
+_lml_core_panel = _make_inv_core(_ainv_logdet_panel)
 
 
 def _lml_from_K(K, log_noise, y, mask, jitter):
@@ -202,9 +228,12 @@ def _lml_from_K(K, log_noise, y, mask, jitter):
     A = K * mm + diag[:, :, None] * jnp.eye(n, dtype=K.dtype)
     ym = y * mask
     impl = _resolve_chol_impl()
+    if impl == "panel" and n % 32 != 0:
+        impl = "inv"
     n_active = jnp.sum(mask, axis=-1)
-    if impl == "inv":
-        core = _lml_core_inv(A, ym)
+    if impl in ("inv", "panel"):
+        core_fn = _lml_core_panel if impl == "panel" else _lml_core_inv
+        core = core_fn(A, ym)
         lml = core - 0.5 * n_active * LOG_2PI
         return jnp.where(jnp.isfinite(lml), lml, -1e10)
     if impl == "static" and n % 8 == 0:

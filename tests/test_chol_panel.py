@@ -1,0 +1,115 @@
+"""Layout-stable panel Cholesky parity vs XLA's expander."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from nowcastautogp_tpu.ops.chol_panel import PANEL, cholesky_panel
+
+
+def _spd(P, n, seed=0, dtype=np.float32):
+    rng = np.random.default_rng(seed)
+    M = rng.standard_normal((P, n, n)).astype(dtype)
+    return jnp.asarray(M @ M.transpose(0, 2, 1) / n
+                       + 2 * np.eye(n, dtype=dtype))
+
+
+@pytest.mark.parametrize("n", [32, 64, 96, 192])
+def test_cholesky_panel_matches_xla(n):
+    A = _spd(4, n, seed=n)
+    np.testing.assert_allclose(
+        np.asarray(cholesky_panel(A)), np.asarray(jnp.linalg.cholesky(A)),
+        rtol=2e-5, atol=2e-5)
+
+
+def test_non_multiple_of_panel_rejected():
+    A = _spd(2, PANEL + 8, seed=3)
+    with pytest.raises(AssertionError):
+        cholesky_panel(A)
+
+
+def test_masked_identity_rows():
+    # the LML's masked-capacity contract: identity rows factor exactly
+    n, act = 64, 50
+    A = np.array(_spd(2, n, seed=9))
+    A[:, act:, :] = 0.0
+    A[:, :, act:] = 0.0
+    for i in range(act, n):
+        A[:, i, i] = 1.0
+    L = np.asarray(cholesky_panel(jnp.asarray(A)))
+    np.testing.assert_allclose(
+        L[:, act:, act:],
+        np.broadcast_to(np.eye(n - act), (2, n - act, n - act)), atol=1e-6)
+    np.testing.assert_allclose(
+        L, np.asarray(jnp.linalg.cholesky(jnp.asarray(A))),
+        rtol=2e-5, atol=2e-5)
+
+
+def test_non_spd_rejected_via_nan():
+    A = np.array(_spd(3, 64, seed=13))
+    A[1, 0, 0] = -4.0
+    L = cholesky_panel(jnp.asarray(A))
+    lml_like = jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), -1)
+    assert bool(jnp.isnan(lml_like[1]))
+    assert bool(jnp.isfinite(lml_like[0])) and bool(jnp.isfinite(lml_like[2]))
+
+
+def _lml_from_K_with_impl(impl, K, ln, y, mask):
+    from nowcastautogp_tpu.ops import lml as lml_mod
+
+    prior = lml_mod._CHOL_IMPL
+    try:
+        lml_mod.set_chol_impl(impl)
+        return lml_mod._lml_from_K(K, ln, y, mask, 1e-5)
+    finally:
+        lml_mod.set_chol_impl(prior)
+
+
+def _lml_inputs(n=64, P=4, act=50):
+    rng = np.random.default_rng(22)
+    K = np.array(_spd(P, n, seed=21)) - 2 * np.eye(n, dtype=np.float32)
+    y = jnp.asarray(rng.standard_normal((P, n)).astype(np.float32))
+    mask = jnp.broadcast_to((jnp.arange(n) < act).astype(jnp.float32), (P, n))
+    ln = jnp.asarray(rng.normal(-2, 0.2, P).astype(np.float32))
+    return jnp.asarray(K), ln, y, mask
+
+
+def test_lml_from_K_panel_impl_matches():
+    K, ln, y, mask = _lml_inputs()
+    v1 = _lml_from_K_with_impl("xla", K, ln, y, mask)
+    v2 = _lml_from_K_with_impl("panel", K, ln, y, mask)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_lml_from_K_panel_grad_matches():
+    import jax
+
+    K, ln, y, mask = _lml_inputs()
+
+    def total(impl):
+        return jax.grad(
+            lambda K_, ln_: jnp.sum(
+                _lml_from_K_with_impl(impl, K_, ln_, y, mask)),
+            argnums=(0, 1))(K, ln)
+
+    gK1, gl1 = total("xla")
+    gK2, gl2 = total("panel")
+    # cotangent placement conventions differ (autodiff puts the factor's
+    # cotangent on the lower triangle); the symmetrized gradient — what a
+    # symmetric K constructor consumes — must match
+    sym = lambda g: g + jnp.swapaxes(g, -1, -2)  # noqa: E731
+    np.testing.assert_allclose(np.asarray(sym(gK1)), np.asarray(sym(gK2)),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gl1), np.asarray(gl2),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_lml_from_K_panel_falls_back_off_granule():
+    # n = 40 is not a 32-multiple: "panel" must silently use the inv core
+    K, ln, y, mask = _lml_inputs(n=40, act=30)
+    v1 = _lml_from_K_with_impl("inv", K, ln, y, mask)
+    v2 = _lml_from_K_with_impl("panel", K, ln, y, mask)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                               rtol=1e-5, atol=1e-5)

@@ -1,24 +1,20 @@
-"""Composed-only experiment: static-Schur cholesky behind a barrier.
+"""Diagnose the composed chol_static penalty: HLO instruction histograms.
 
-Question (round-3): the static recursion is 3.6 ms standalone vs the
-expander's 12.4, but composed after the Pallas covariance it LOSES ~12 ms.
-Hypothesis: standalone its many slices read a jit *argument* (free); composed
-they consume a fused producer and XLA re-materializes/copies per slice.  If
-so, forcing ONE materialization of A (optimization_barrier) should recover
-most of the standalone speed.  Prints composed fwd/vgrad for:
-  inv        — expander cholesky + analytic-VJP core (shipped TPU default)
-  inv_st     — static cholesky, no barrier (known loser)
-  inv_st_bar — static cholesky behind lax.optimization_barrier(A)
+Lowers the composed (megacov -> A -> core) forward for the 'inv' and
+'inv_st' cores and prints per-opcode instruction counts plus every copy /
+transpose / bitcast with shapes, so the ~10 ms composed-only overhead of the
+static recursion can be attributed.
 
-Usage: python tools/microbench_inv_bar.py [--cap 192] [--p 200]
+Usage: python tools/dump_hlo_inv.py [--cap 192] [--p 200] [--grad]
 """
 
 from __future__ import annotations
 
 import argparse
+import collections
 import os
+import re
 import sys
-import time
 
 import numpy as np
 
@@ -27,19 +23,6 @@ import jax.numpy as jnp
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-HI = jax.lax.Precision.HIGHEST
-
-
-def _time(f, *args, n=20, warmup=3):
-    for _ in range(warmup):
-        out = f(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = f(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n * 1e3  # ms
-
 
 def main():
     ap = argparse.ArgumentParser()
@@ -47,6 +30,7 @@ def main():
     ap.add_argument("--cap", type=int, default=192)
     ap.add_argument("--p", type=int, default=200)
     ap.add_argument("--active", type=int, default=150)
+    ap.add_argument("--grad", action="store_true")
     args = ap.parse_args()
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/ngp_jax_cache_tpu")
@@ -60,6 +44,7 @@ def main():
         cholesky_static, solve_lower_static)
     from tools.microbench_inv import _make_inv_core, _inv_fwd_trtri
 
+    HI = jax.lax.Precision.HIGHEST
     cfg = GPConfig(max_depth=args.depth)
     rng = np.random.default_rng(0)
     P, cap = args.p, args.cap
@@ -86,25 +71,9 @@ def main():
             jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
         return Ainv, logdet
 
-    from nowcastautogp_tpu.ops.chol_panel import cholesky_panel
-
-    def _inv_fwd_panel(A):
-        L = cholesky_panel(A)
-        n = A.shape[-1]
-        eye = jnp.broadcast_to(jnp.eye(n, dtype=A.dtype), A.shape)
-        Linv = jax.lax.linalg.triangular_solve(
-            L, eye, left_side=True, lower=True)
-        Ainv = jnp.einsum("pki,pkj->pij", Linv, Linv, precision=HI)
-        logdet = 2.0 * jnp.sum(
-            jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
-        return Ainv, logdet
-
     cores = {
         "inv": _make_inv_core(_inv_fwd_trtri),
-        "inv_panel": _make_inv_core(_inv_fwd_panel),
         "inv_st": _make_inv_core(_inv_fwd_static),
-        "inv_st_bar": _make_inv_core(
-            lambda A: _inv_fwd_static(jax.lax.optimization_barrier(A))),
     }
 
     def make_lml(core):
@@ -119,16 +88,53 @@ def main():
             return jnp.sum(jnp.where(jnp.isfinite(out), out, -1e10))
         return lml
 
-    print(f"P={P} cap={cap} depth={args.depth}  (composed only)", flush=True)
     for name, core in cores.items():
-        lml = make_lml(core)
-        f = jax.jit(lml)
-        vg = jax.jit(jax.value_and_grad(lml, argnums=(0, 1)))
-        tf = _time(f, params, log_noise)
-        tg = _time(vg, params, log_noise)
-        v, _ = vg(params, log_noise)
-        print(f"{name:10s} fwd {tf:7.2f} ms   vgrad {tg:7.2f} ms   "
-              f"value {float(v):.3f}", flush=True)
+        f = make_lml(core)
+        if args.grad:
+            f = jax.value_and_grad(f, argnums=(0, 1))
+        compiled = jax.jit(f).lower(params, log_noise).compile()
+        txt = compiled.as_text()
+        # opcode histogram over the entry computation and all fusions
+        ops = collections.Counter()
+        big_copies = []
+        for line in txt.splitlines():
+            m = re.match(r"\s*(?:ROOT )?%?[\w.\-]+ = (\w+)\(", line.strip())
+            m2 = re.match(
+                r"\s*(?:ROOT )?%?[\w.\-]+ = (\S+?)\s+(\w+)\(", line.strip())
+            if m2:
+                opcode = m2.group(2)
+                ops[opcode] += 1
+                if opcode in ("copy", "transpose", "bitcast",
+                              "all-reduce") or "custom-call" in opcode:
+                    shape = m2.group(1)
+                    if "f32[" in shape:
+                        dims = re.findall(r"f32\[([\d,]*)\]", shape)
+                        sz = 1
+                        for d in (dims[0].split(",") if dims and dims[0]
+                                  else []):
+                            sz *= int(d)
+                        if sz >= 1 << 20:
+                            big_copies.append(f"  {opcode:10s} {shape}")
+        try:
+            ca = compiled.cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            extra = (f"  flops={ca.get('flops', 0):.3g}  "
+                     f"bytes={ca.get('bytes accessed', 0):.3g}")
+        except Exception:
+            extra = ""
+        print(f"== {name} =={extra}")
+        interesting = {k: v for k, v in ops.items() if k in (
+            "fusion", "copy", "transpose", "bitcast", "while", "custom-call",
+            "dot", "cholesky", "triangular-solve", "dynamic-slice",
+            "dynamic-update-slice", "slice", "concatenate", "pad")}
+        for k in sorted(interesting):
+            print(f"  {k:20s} {interesting[k]}")
+        if big_copies:
+            print("  -- copies/transposes >=1MiB --")
+            for s in big_copies[:40]:
+                print(s)
+        print(f"  total instructions: {sum(ops.values())}", flush=True)
 
 
 if __name__ == "__main__":
