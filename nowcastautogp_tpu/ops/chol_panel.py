@@ -31,7 +31,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["cholesky_panel", "PANEL"]
+__all__ = ["cholesky_panel", "tri_inv_panel", "PANEL"]
 
 PANEL = 32
 _PREC = jax.lax.Precision.HIGHEST
@@ -93,3 +93,40 @@ def cholesky_panel(A):
             pan = jnp.concatenate([pad, pan], axis=1)
         cols.append(pan)
     return jnp.concatenate(cols, axis=2)
+
+
+def tri_inv_panel(L):
+    """Batched inverse of lower-triangular (P, n, n); n a multiple of 32.
+
+    Blocked forward substitution: with block index over 32-wide panels,
+    ``W[j][j] = inv(L[j][j])`` and
+    ``W[i][j] = -inv(L[i][i]) @ (sum_{j<=k<i} L[i][k] @ W[k][j])`` —
+    trace-time loops over block pairs, so the whole inverse is straight-line
+    batched 32x32 matmuls instead of XLA's While-loop triangular-solve
+    expansion.  Pairs with ``cholesky_panel`` to materialize ``A^{-1}`` for
+    the analytic-VJP LML core without any sequential device loop.
+    """
+    n = L.shape[-1]
+    assert n % PANEL == 0 and n > 0, n
+    nb = n // PANEL
+
+    def blk(i, j):
+        return L[:, i * PANEL:(i + 1) * PANEL, j * PANEL:(j + 1) * PANEL]
+
+    M = [_tri_inv_base(blk(i, i)) for i in range(nb)]
+    W = {}
+    for i in range(nb):
+        W[(i, i)] = M[i]
+        for j in range(i):
+            acc = 0.0
+            for k in range(j, i):
+                acc = acc + jnp.einsum(
+                    "pik,pkj->pij", blk(i, k), W[(k, j)], precision=_PREC)
+            W[(i, j)] = -jnp.einsum(
+                "pik,pkj->pij", M[i], acc, precision=_PREC)
+    zero = jnp.zeros_like(M[0])
+    rows = [
+        jnp.concatenate([W.get((i, j), zero) for j in range(nb)], axis=2)
+        for i in range(nb)
+    ]
+    return jnp.concatenate(rows, axis=1)

@@ -5,7 +5,9 @@ import pytest
 
 import jax.numpy as jnp
 
-from nowcastautogp_tpu.ops.chol_panel import PANEL, cholesky_panel
+from nowcastautogp_tpu.ops.chol_panel import (
+    PANEL, cholesky_panel, tri_inv_panel,
+)
 
 
 def _spd(P, n, seed=0, dtype=np.float32):
@@ -53,6 +55,22 @@ def test_non_spd_rejected_via_nan():
     lml_like = jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), -1)
     assert bool(jnp.isnan(lml_like[1]))
     assert bool(jnp.isfinite(lml_like[0])) and bool(jnp.isfinite(lml_like[2]))
+
+
+@pytest.mark.parametrize("n", [32, 96, 192])
+def test_tri_inv_panel_matches_solve(n):
+    import jax
+
+    A = _spd(3, n, seed=n + 5)
+    L = jnp.linalg.cholesky(A)
+    W = tri_inv_panel(L)
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=L.dtype), L.shape)
+    ref = jax.lax.linalg.triangular_solve(L, eye, left_side=True, lower=True)
+    np.testing.assert_allclose(np.asarray(W), np.asarray(ref),
+                               rtol=3e-4, atol=3e-4)
+    prod = jnp.einsum("pij,pjk->pik", W, L)
+    np.testing.assert_allclose(np.asarray(prod), np.asarray(eye),
+                               atol=2e-4)
 
 
 def _lml_from_K_with_impl(impl, K, ln, y, mask):

@@ -86,7 +86,7 @@ def main():
             jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
         return Ainv, logdet
 
-    from nowcastautogp_tpu.ops.chol_panel import cholesky_panel
+    from nowcastautogp_tpu.ops.chol_panel import cholesky_panel, tri_inv_panel
 
     def _inv_fwd_panel(A):
         L = cholesky_panel(A)
@@ -99,9 +99,18 @@ def main():
             jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
         return Ainv, logdet
 
+    def _inv_fwd_panel_full(A):
+        L = cholesky_panel(A)
+        Linv = tri_inv_panel(L)
+        Ainv = jnp.einsum("pki,pkj->pij", Linv, Linv, precision=HI)
+        logdet = 2.0 * jnp.sum(
+            jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
+        return Ainv, logdet
+
     cores = {
         "inv": _make_inv_core(_inv_fwd_trtri),
         "inv_panel": _make_inv_core(_inv_fwd_panel),
+        "inv_panel_full": _make_inv_core(_inv_fwd_panel_full),
         "inv_st": _make_inv_core(_inv_fwd_static),
         "inv_st_bar": _make_inv_core(
             lambda A: _inv_fwd_static(jax.lax.optimization_barrier(A))),
