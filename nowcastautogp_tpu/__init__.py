@@ -32,6 +32,8 @@ from .models.gp_model import (
 )
 from .models.posterior import MvNormalMixture
 from .nowcast import create_nowcast_data, forecast_with_nowcasts
+from .parallel.panel import fit_panel
+from .parallel.sharding import make_mesh
 from .tdata import TData, create_transformed_data
 from .transforms import get_transformations
 from .utils.data import VintagedData, load_vintaged_csv
@@ -56,4 +58,6 @@ __all__ = [
     "save_model", "load_model",
     # vintaged-data workflow helpers
     "VintagedData", "load_vintaged_csv",
+    # multi-jurisdiction / multi-chip panel fitting
+    "fit_panel", "make_mesh",
 ]

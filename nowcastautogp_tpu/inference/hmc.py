@@ -131,7 +131,7 @@ def _hmc_single(
 def _hmc_batched(
     node_types, params, log_noise, prior_mu, prior_sigma, prior_active,
     x, y, mask, key, eps_scale, n_steps, n_leapfrog, step_size, step_jitter,
-    jitter, noise_mu, noise_sigma, infer_noise,
+    jitter, noise_mu, noise_sigma, infer_noise, lml_backend=None,
 ):
     """Explicitly-batched HMC: all particle arrays carry the leading P axis.
 
@@ -147,7 +147,8 @@ def _hmc_batched(
     P = params.shape[0]
 
     def potential(p, ln):
-        lml = gp_lml_batched(node_types, p, ln, x, y, mask, jitter)
+        lml = gp_lml_batched(node_types, p, ln, x, y, mask, jitter,
+                             backend=lml_backend)
         z = (p - prior_mu) / prior_sigma
         lp = jnp.sum(
             prior_active * (-0.5 * z * z - jnp.log(prior_sigma)), axis=(1, 2)
@@ -223,13 +224,13 @@ def _hmc_batched(
 
 @partial(
     jax.jit,
-    static_argnames=("n_steps", "n_leapfrog"),
+    static_argnames=("n_steps", "n_leapfrog", "lml_backend"),
 )
 def run_hmc(
     node_types, params, log_noise, prior_mu, prior_sigma, prior_active,
     x, y, mask, key, *, n_steps, n_leapfrog, step_size, step_jitter,
     jitter=DEFAULT_JITTER, noise_mu=-2.0, noise_sigma=1.0, infer_noise=1.0,
-    eps_scale=None,
+    eps_scale=None, lml_backend=None,
 ):
     """Batched HMC: every argument (except scalars) has a leading particle axis.
 
@@ -244,5 +245,6 @@ def run_hmc(
         node_types, params, log_noise, prior_mu, prior_sigma, prior_active,
         x, y, mask, key, eps_scale, n_steps, n_leapfrog, step_size,
         step_jitter, jitter, noise_mu, noise_sigma, infer_noise,
+        lml_backend=lml_backend,
     )
     return p, ln, lml, rate, scale

@@ -55,13 +55,14 @@ def propose_batch(rng: np.random.Generator, node_types: np.ndarray,
     return new_types, new_params, log_h, pri
 
 
-@partial(jax.jit, static_argnames=("n_hmc", "n_leapfrog"))
+@partial(jax.jit, static_argnames=("n_hmc", "n_leapfrog", "lml_backend"))
 def structure_move_device(
     types_old, types_prop, params_old, params_prop,
     pri_old, pri_prop, log_hastings, log_noise, lml_old,
     x, y, mask, key, eps_scale, *,
     n_hmc, n_leapfrog, step_size, step_jitter,
     jitter=DEFAULT_JITTER, noise_mu=-2.0, noise_sigma=1.0, infer_noise=1.0,
+    lml_backend=None,
 ):
     """One fused device step: proposal LML -> MH accept -> select -> HMC.
 
@@ -76,7 +77,8 @@ def structure_move_device(
     k_acc, k_hmc = jax.random.split(key)
 
     lml_prop = gp_lml_batched(
-        types_prop, params_prop, log_noise, x, y, mask, jitter
+        types_prop, params_prop, log_noise, x, y, mask, jitter,
+        backend=lml_backend,
     )
     logit = lml_prop - lml_old + log_hastings
     accept = jnp.log(jax.random.uniform(k_acc, (P,))) < logit
@@ -93,6 +95,7 @@ def structure_move_device(
             types, params, log_noise, mu, sigma, active, x, y, mask, k_hmc,
             eps_scale, n_hmc, n_leapfrog, step_size, step_jitter,
             jitter, noise_mu, noise_sigma, infer_noise,
+            lml_backend=lml_backend,
         )
         hmc_rate = jnp.mean(acc_rate)
     else:
@@ -103,7 +106,7 @@ def structure_move_device(
 def mcmc_structure_sweep(
     rng, key, host_types, params, log_noise, lml, x, y, mask,
     config: GPConfig, n_mcmc: int, n_hmc: int, hmc_cfg, jitter,
-    noise_mu, noise_sigma, infer_noise, eps_scale=None,
+    noise_mu, noise_sigma, infer_noise, eps_scale=None, lml_backend=None,
 ):
     """Run ``n_mcmc`` structure moves (each followed by ``n_hmc`` HMC steps).
 
@@ -129,7 +132,7 @@ def mcmc_structure_sweep(
             n_hmc=n_hmc, n_leapfrog=hmc_cfg.n_leapfrog,
             step_size=hmc_cfg.step_size, step_jitter=hmc_cfg.step_size_jitter,
             jitter=jitter, noise_mu=noise_mu, noise_sigma=noise_sigma,
-            infer_noise=infer_noise,
+            infer_noise=infer_noise, lml_backend=lml_backend,
         )
         acc_np = np.asarray(accept)
         host_types = np.where(acc_np[:, None], types_prop, host_types).astype(np.int32)

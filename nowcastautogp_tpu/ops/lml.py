@@ -252,13 +252,21 @@ def _lml_from_K(K, log_noise, y, mask, jitter):
 
 
 def gp_lml_batched(node_types, params, log_noise, x, y, mask,
-                   jitter=DEFAULT_JITTER):
+                   jitter=DEFAULT_JITTER, backend=None):
     """Natively batched masked LML: every argument carries the particle axis.
 
     Identical semantics to ``vmap(gp_lml_impl)`` including the ``-1e10``
-    non-finite rejection guard.
+    non-finite rejection guard.  ``backend`` (trace-time static) overrides
+    the module-global selection — sharded multi-chip callers pass ``"jnp"``
+    so a Pallas custom call never lands inside an SPMD-partitioned program.
     """
-    backend = _resolve_backend(node_types.shape[-1], x.shape[-1])
+    if backend is None:
+        backend = _resolve_backend(node_types.shape[-1], x.shape[-1])
+    elif backend == "mega":
+        from .pallas_megacov import megacov_supported
+
+        if not megacov_supported(node_types.shape[-1], x.shape[-1]):
+            backend = "jnp"
     if backend == "mega":
         from .pallas_megacov import cov_batched_fused
 
@@ -280,7 +288,7 @@ def gp_lml_batched(node_types, params, log_noise, x, y, mask,
 
 
 # jitted entry point for host callers (reweighting, nowcast batching)
-gp_lml_batch = jax.jit(gp_lml_batched)
+gp_lml_batch = jax.jit(gp_lml_batched, static_argnames=("backend",))
 
 
 def _gp_lml_batched_jnp(node_types, params, log_noise, x, y, mask,

@@ -13,12 +13,12 @@ Series are annealed on a shared proportion grid (each step conditions
 index math, one device gather), and with a `jax.sharding.Mesh` the row axis
 shards across chips with zero cross-series collectives.
 
-Backend note: the reweight path pins the pure-XLA LML
-(``gp_lml_batch_sharded``) because a Pallas program cannot be partitioned
-across a mesh; the rejuvenation sweep resolves the global backend at trace
-time — on a multi-chip mesh run ``set_lml_backend("jnp")`` before the first
-panel fit (single-chip TPU and the CPU test mesh are unaffected: "auto"
-resolves to jnp off-TPU and panel row counts trace their own programs).
+Backend note: a Pallas program cannot be partitioned across a mesh, so the
+reweight path pins the pure-XLA LML (``gp_lml_batch_sharded``) and, when
+``mesh`` spans more than one device, the rejuvenation sweep passes
+``lml_backend="jnp"`` down the stack (a trace-time static argument, so the
+pin is part of each program's jit cache key — no global-state flip is
+needed and single-chip fits at the same shapes keep their fused programs).
 """
 
 from __future__ import annotations
@@ -122,6 +122,11 @@ def fit_panel(
     noise_mu, noise_sigma = float(wc["mu"]) - 2.0, float(wc["sigma"])
     infer = 0.0 if config.noise is not None else 1.0
 
+    # multi-device mesh ⇒ every LML in the sweep must be SPMD-partitionable
+    lml_backend = (
+        "jnp" if mesh is not None and mesh.devices.size > 1 else None
+    )
+
     # ---- shared proportion grid: anneal every series together
     n_max = max(lens)
     eff_prop = max(smc_data_proportion, 1.0 / n_max)
@@ -167,6 +172,7 @@ def fit_panel(
                 rng, key, host_types, params, log_noise, lml, x_b, y_b, mask_b,
                 config, n_mcmc, n_hmc, hmc_cfg, DEFAULT_JITTER,
                 noise_mu, noise_sigma, infer, eps_scale=eps_scale,
+                lml_backend=lml_backend,
             )
         elif do_rejuvenate and n_hmc > 0:
             from ..inference.hmc import run_hmc
@@ -181,7 +187,7 @@ def fit_panel(
                 step_size=hmc_cfg.step_size, step_jitter=hmc_cfg.step_size_jitter,
                 jitter=DEFAULT_JITTER, noise_mu=noise_mu,
                 noise_sigma=noise_sigma, infer_noise=infer,
-                eps_scale=eps_scale,
+                eps_scale=eps_scale, lml_backend=lml_backend,
             )
 
     # ---- split rows back into per-series GPModels

@@ -29,6 +29,12 @@ __all__ = ["make_mesh", "shard_rows", "panel_smc_step"]
 
 
 def make_mesh(n_devices: int | None = None, axis_name: str = "series") -> Mesh:
+    """1-D ``jax.sharding.Mesh`` over the first ``n_devices`` visible devices.
+
+    The ``series`` axis is the framework's scaling dimension: jurisdictions /
+    independent series shard across it with zero cross-series collectives
+    (``fit_panel``'s ``mesh=`` argument).
+    """
     devs = jax.devices()
     n = len(devs) if n_devices is None else int(n_devices)
     return Mesh(np.array(devs[:n]), (axis_name,))
@@ -71,9 +77,13 @@ def panel_smc_step(
 
     lml_v = jax.vmap(gp_lml_impl, in_axes=(0, 0, 0, 0, 0, 0, None))
 
-    # (1) reweight to the new mask
+    # (1) reweight to the new mask.  Sentinel guard: a particle numerically
+    # broken on either side of the reweight must lose weight, not inherit
+    # ~e^{1e10} of it (same contract as models/gp_model.py:174-176 and the
+    # other four weight-update sites).
     lml_new = lml_v(types_old, params, log_noise, x, y, mask_new, jitter)
-    log_weight = log_weight + (lml_new - lml_cached)
+    log_weight = log_weight + jnp.where(
+        (lml_cached <= -1e9) | (lml_new <= -1e9), -1e10, lml_new - lml_cached)
 
     # (2) structure-move accept (subtree-from-prior proposals cancel to an
     # LML ratio plus the node-count Hastings term)

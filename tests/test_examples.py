@@ -44,6 +44,11 @@ class TestExamplesRun:
         assert qs.shape[0] == 3
         assert np.all(qs >= 0) and np.all(qs <= 100)
 
+    def test_multi_jurisdiction(self):
+        scores = _load("multi_jurisdiction").run(smoke=True)
+        assert len(scores) == 3
+        assert all(np.isfinite(v) for v in scores.values())
+
     def test_acceptance_smoke(self):
         res = _load("acceptance").run(smoke=True)
         assert set(res["scores"]) == {

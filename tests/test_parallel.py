@@ -55,6 +55,74 @@ class TestMesh:
 
         graft.dryrun_multichip(8)
 
+    def test_panel_smc_step_sentinel_guard(self):
+        """A row whose cached LML sits at the -1e10 sentinel must LOSE weight
+        on the fused sharded step, not gain ~e^{1e10} of it (sixth
+        weight-update site, parallel/sharding.py)."""
+        from nowcastautogp_tpu.inference.structure_mcmc import propose_batch
+        from nowcastautogp_tpu.models.config import GPConfig
+        from nowcastautogp_tpu.models.structures import sample_particle
+        from nowcastautogp_tpu.parallel.sharding import panel_smc_step
+        from nowcastautogp_tpu.models.structures import prior_arrays
+
+        cfg = GPConfig()
+        rng = np.random.default_rng(3)
+        R, cap = 4, 64
+        ts, ps, lns = zip(*(sample_particle(rng, cfg) for _ in range(R)))
+        types = np.stack(ts).astype(np.int32)
+        params = np.stack(ps).astype(np.float32)
+        log_noise = np.asarray(lns, np.float32)
+        pri = tuple(map(jnp.asarray, prior_arrays(types, cfg)))
+        x = np.broadcast_to(
+            np.linspace(0, 1, cap, dtype=np.float32), (R, cap)).copy()
+        y = np.sin(6 * x).astype(np.float32)
+        mask = np.broadcast_to(
+            (np.arange(cap) < 40).astype(np.float32), (R, cap)).copy()
+        types_prop, params_prop, log_h, pri_prop = propose_batch(
+            rng, types, params, cfg)
+
+        lml_cached = jnp.asarray([0.0, -1e10, 0.0, 0.0], jnp.float32)
+        out = panel_smc_step(
+            jnp.asarray(types), jnp.asarray(types_prop),
+            jnp.asarray(params), jnp.asarray(params_prop),
+            pri, tuple(map(jnp.asarray, pri_prop)),
+            jnp.asarray(log_h), jnp.asarray(log_noise),
+            jnp.zeros(R, jnp.float32), lml_cached,
+            jnp.ones(R, jnp.float32),
+            jnp.asarray(x), jnp.asarray(y), jnp.asarray(mask),
+            jax.random.PRNGKey(0), n_hmc=0, n_leapfrog=1, step_size=0.02,
+            step_jitter=0.0,
+        )
+        log_w = np.asarray(out[3])
+        assert log_w[1] <= -1e9, "broken row must not capture the ensemble"
+        assert np.all(np.isfinite(log_w[[0, 2, 3]]))
+        assert np.all(np.abs(log_w[[0, 2, 3]]) < 1e6)
+
+    def test_lml_backend_pin_matches_default(self):
+        """The static backend override sharded callers use (backend='jnp')
+        computes the same LML as the default dispatch."""
+        from nowcastautogp_tpu.models.config import GPConfig
+        from nowcastautogp_tpu.models.structures import sample_particle
+        from nowcastautogp_tpu.ops.lml import gp_lml_batch
+
+        cfg = GPConfig()
+        rng = np.random.default_rng(5)
+        P, cap = 3, 64
+        ts, ps, lns = zip(*(sample_particle(rng, cfg) for _ in range(P)))
+        types = jnp.asarray(np.stack(ts).astype(np.int32))
+        params = jnp.asarray(np.stack(ps).astype(np.float32))
+        log_noise = jnp.asarray(np.asarray(lns, np.float32))
+        x = jnp.broadcast_to(jnp.linspace(0, 1, cap), (P, cap)).astype(
+            jnp.float32)
+        y = jnp.sin(5 * x)
+        mask = jnp.broadcast_to(
+            (jnp.arange(cap) < 50).astype(jnp.float32), (P, cap))
+        v_default = gp_lml_batch(types, params, log_noise, x, y, mask)
+        v_pinned = gp_lml_batch(types, params, log_noise, x, y, mask,
+                                backend="jnp")
+        np.testing.assert_allclose(np.asarray(v_default),
+                                   np.asarray(v_pinned), rtol=1e-5, atol=1e-5)
+
 
 class TestPanel:
     def test_fit_panel_returns_models(self):
