@@ -80,7 +80,13 @@ gp_lml = jax.jit(gp_lml_impl)
 # Default "auto": the fused covariance measured 3.8 ms fwd / 8.4 ms
 # fwd+bwd at P=200, cap=192, depth 5 on the v5e vs 18.9 / ~70 ms for the
 # XLA interpreter path (tools/debug_mega.py; PLAN.md round-3 log).
-_LML_BACKEND = "auto"
+# Env overrides (read once at import; benchmarking/ops knobs):
+#   NGP_LML_BACKEND ∈ {auto, mega, pallas, jnp}
+#   NGP_CHOL_IMPL   ∈ {auto, xla, inv, panel, static}
+import os as _os
+
+_LML_BACKEND = _os.environ.get("NGP_LML_BACKEND", "auto")
+assert _LML_BACKEND in ("auto", "mega", "pallas", "jnp"), _LML_BACKEND
 
 
 def set_lml_backend(name: str) -> None:
@@ -139,7 +145,8 @@ def _resolve_backend(n_nodes: int, n: int) -> str:
 # product.  NOTE ``set_chol_impl`` must be called before jitted callers
 # first trace — module-level jit caches (``gp_lml_batch``, the fit
 # programs) do not retrace on a later flip.
-_CHOL_IMPL = "auto"
+_CHOL_IMPL = _os.environ.get("NGP_CHOL_IMPL", "auto")
+assert _CHOL_IMPL in ("auto", "xla", "inv", "panel", "static"), _CHOL_IMPL
 
 
 def set_chol_impl(name: str) -> None:
