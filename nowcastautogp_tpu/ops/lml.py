@@ -289,6 +289,12 @@ def gp_lml_batched(node_types, params, log_noise, x, y, mask,
         n_active = jnp.sum(mask, axis=-1)
         lml = lml_core(K, ym) - 0.5 * n_active * LOG_2PI
         return jnp.where(jnp.isfinite(lml), lml, -1e10)
+    if _resolve_chol_impl() != "xla":
+        # honor a non-default Cholesky core on the portable backend too
+        # (the interpreter covariance feeds the same batched _lml_from_K
+        # the fused path uses)
+        K = jax.vmap(eval_cov, in_axes=(0, 0, 0, 0))(node_types, params, x, x)
+        return _lml_from_K(K, log_noise, y, mask, jitter)
     return jax.vmap(gp_lml_impl, in_axes=(0, 0, 0, 0, 0, 0, None))(
         node_types, params, log_noise, x, y, mask, jitter
     )

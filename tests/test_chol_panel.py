@@ -124,6 +124,35 @@ def test_lml_from_K_panel_grad_matches():
                                rtol=2e-4, atol=2e-4)
 
 
+def test_full_fit_under_panel_impl():
+    """End-to-end fit + forecast with the panel core selected: guards the
+    future TPU default flip (capacities are 32-granule so the panel path is
+    the one actually exercised at cap 64)."""
+    import datetime as dtm
+
+    import nowcastautogp_tpu as ngp
+    from nowcastautogp_tpu.ops import lml as lml_mod
+
+    rng = np.random.default_rng(17)
+    n = 30
+    dates = [dtm.date(2023, 1, 2) + dtm.timedelta(weeks=i) for i in range(n)]
+    obs = 50 * np.exp(0.02 * np.arange(n) + 0.1 * rng.standard_normal(n))
+    data = ngp.create_transformed_data(dates, obs, transformation=np.log)
+    prior = lml_mod._CHOL_IMPL
+    try:
+        lml_mod.set_chol_impl("panel")
+        m = ngp.make_and_fit_model(
+            data, n_particles=2, smc_data_proportion=0.34, n_mcmc=2,
+            n_hmc=2, seed=3)
+        fdates = [dates[-1] + dtm.timedelta(weeks=i + 1) for i in range(2)]
+        fc = ngp.forecast(m, fdates, 40, inv_transformation=np.exp)
+    finally:
+        lml_mod.set_chol_impl(prior)
+    assert fc.shape == (2, 40)
+    assert np.all(np.isfinite(fc)) and np.all(fc > 0)
+    assert np.all(np.isfinite(np.asarray(m.log_weight)))
+
+
 def test_lml_from_K_panel_falls_back_off_granule():
     # n = 40 is not a 32-multiple: "panel" must silently use the inv core
     K, ln, y, mask = _lml_inputs(n=40, act=30)
