@@ -28,6 +28,8 @@ import time
 
 def run(full: bool = False, smoke: bool = False, n_report_dates: int = 4,
         seed: int = 0, rev_regime: str = "harsh"):
+    from nowcastautogp_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
     from nowcastautogp_tpu.eval.acceptance import (
         run_acceptance, synthetic_nhsn_vintage,
     )

@@ -50,6 +50,8 @@ def simulate_vintaged_data(n_weeks=120, seed=0):
 
 
 def run(full: bool = False, seed: int = 1, smoke: bool = False):
+    from nowcastautogp_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
     # smoke: tiny budgets at the test suite's shared compile shapes so the
     # pipeline is exercised end-to-end by pytest (tests/test_examples.py)
     fit_kw = dict(
@@ -128,5 +130,6 @@ def run(full: bool = False, seed: int = 1, smoke: bool = False):
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--full", action="store_true")
+    ap.add_argument("--smoke", action="store_true")
     args = ap.parse_args()
-    run(full=args.full)
+    run(full=args.full, smoke=args.smoke)

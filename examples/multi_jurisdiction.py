@@ -56,6 +56,8 @@ def simulate_panel(n_states=6, n_weeks=120, seed=7):
 
 
 def run(full: bool = False, smoke: bool = False, seed: int = 7):
+    from nowcastautogp_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
     import jax
 
     n_states = 6 if not smoke else 3
@@ -104,4 +106,6 @@ def run(full: bool = False, smoke: bool = False, seed: int = 7):
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--full", action="store_true")
-    run(full=ap.parse_args().full)
+    ap.add_argument("--smoke", action="store_true")
+    args = ap.parse_args()
+    run(full=args.full, smoke=args.smoke)

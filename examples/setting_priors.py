@@ -54,6 +54,8 @@ def lin_period_only(base: ngp.GPConfig) -> ngp.GPConfig:
 
 
 def run(full: bool = False, smoke: bool = False):
+    from nowcastautogp_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
     fit_kw = dict(
         n_particles=32 if full else (2 if smoke else 4),
         smc_data_proportion=0.005 if full else (0.34 if smoke else 0.25),
@@ -95,4 +97,6 @@ def run(full: bool = False, smoke: bool = False):
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--full", action="store_true")
-    run(full=ap.parse_args().full)
+    ap.add_argument("--smoke", action="store_true")
+    args = ap.parse_args()
+    run(full=args.full, smoke=args.smoke)
