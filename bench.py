@@ -105,11 +105,42 @@ SEEDS = (2, 3, 4)
 N_MCMC, N_HMC, N_LEAPFROG = 14, 5, 5
 
 
+def _probe_device(timeout_s: int = 300, retries: int = 3) -> None:
+    """Fail fast (clear message, nonzero exit) if the device never claims.
+
+    The tunneled TPU's chip claim can block indefinitely during a pool
+    outage; ``jax.devices()`` in THIS process would hang the whole bench
+    with no diagnostic.  Probe in a subprocess with a bounded wait instead —
+    a healthy claim returns in seconds, and a slow first *compile* is
+    unaffected (compilation happens after the probe).
+    """
+    import subprocess
+    import sys
+
+    for attempt in range(1, retries + 1):
+        try:
+            subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; jax.devices()"],
+                timeout=timeout_s, check=True,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            )
+            return
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+            print(f"bench: device probe {attempt}/{retries} failed "
+                  f"(claim did not complete in {timeout_s}s)",
+                  file=sys.stderr, flush=True)
+    print("bench: device unreachable — aborting instead of hanging",
+          file=sys.stderr, flush=True)
+    raise SystemExit(2)
+
+
 def main():
     import sys
 
     import jax
 
+    _probe_device()
     jax.config.update("jax_compilation_cache_dir", "/tmp/ngp_jax_cache_tpu")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
