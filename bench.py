@@ -105,7 +105,7 @@ SEEDS = (2, 3, 4)
 N_MCMC, N_HMC, N_LEAPFROG = 14, 5, 5
 
 
-def _probe_device(timeout_s: int = 300, retries: int = 3) -> None:
+def _probe_device(timeout_s: int = 300, retries: int = 2) -> None:
     """Fail fast (clear message, nonzero exit) if the device never claims.
 
     The tunneled TPU's chip claim can block indefinitely during a pool
@@ -119,15 +119,18 @@ def _probe_device(timeout_s: int = 300, retries: int = 3) -> None:
 
     for attempt in range(1, retries + 1):
         try:
-            subprocess.run(
-                [sys.executable, "-c",
-                 "import jax; jax.devices()"],
-                timeout=timeout_s, check=True,
-                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            proc = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=timeout_s, capture_output=True, text=True,
             )
-            return
-        except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
-            print(f"bench: device probe {attempt}/{retries} failed "
+            if proc.returncode == 0:
+                return
+            tail = "\n".join(proc.stderr.strip().splitlines()[-4:])
+            print(f"bench: device probe {attempt}/{retries} exited "
+                  f"rc={proc.returncode}:\n{tail}",
+                  file=sys.stderr, flush=True)
+        except subprocess.TimeoutExpired:
+            print(f"bench: device probe {attempt}/{retries} timed out "
                   f"(claim did not complete in {timeout_s}s)",
                   file=sys.stderr, flush=True)
     print("bench: device unreachable — aborting instead of hanging",

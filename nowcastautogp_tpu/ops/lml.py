@@ -85,8 +85,16 @@ gp_lml = jax.jit(gp_lml_impl)
 #   NGP_CHOL_IMPL   ∈ {auto, xla, inv, panel, static}
 import os as _os
 
-_LML_BACKEND = _os.environ.get("NGP_LML_BACKEND", "auto")
-assert _LML_BACKEND in ("auto", "mega", "pallas", "jnp"), _LML_BACKEND
+
+def _env_choice(var: str, default: str, allowed: tuple) -> str:
+    val = _os.environ.get(var, default)
+    if val not in allowed:
+        raise ValueError(f"{var}={val!r}; expected one of {allowed}")
+    return val
+
+
+_LML_BACKEND = _env_choice(
+    "NGP_LML_BACKEND", "auto", ("auto", "mega", "pallas", "jnp"))
 
 
 def set_lml_backend(name: str) -> None:
@@ -145,8 +153,8 @@ def _resolve_backend(n_nodes: int, n: int) -> str:
 # product.  NOTE ``set_chol_impl`` must be called before jitted callers
 # first trace — module-level jit caches (``gp_lml_batch``, the fit
 # programs) do not retrace on a later flip.
-_CHOL_IMPL = _os.environ.get("NGP_CHOL_IMPL", "auto")
-assert _CHOL_IMPL in ("auto", "xla", "inv", "panel", "static"), _CHOL_IMPL
+_CHOL_IMPL = _env_choice(
+    "NGP_CHOL_IMPL", "auto", ("auto", "xla", "inv", "panel", "static"))
 
 
 def set_chol_impl(name: str) -> None:
@@ -177,13 +185,13 @@ def _ainv_logdet_xla(A):
 
 
 def _ainv_logdet_panel(A):
-    """A → (A^{-1}, logdet) via the layout-stable panel factorization."""
-    from .chol_panel import cholesky_panel
+    """A → (A^{-1}, logdet) via the layout-stable panel forms: panel
+    Cholesky + blocked panel triangular inverse — zero While-loop
+    expansions anywhere in the forward."""
+    from .chol_panel import cholesky_panel, tri_inv_panel
 
     L = cholesky_panel(A)
-    n = A.shape[-1]
-    eye = jnp.broadcast_to(jnp.eye(n, dtype=A.dtype), A.shape)
-    Linv = jax.lax.linalg.triangular_solve(L, eye, left_side=True, lower=True)
+    Linv = tri_inv_panel(L)
     Ainv = jnp.einsum("pki,pkj->pij", Linv, Linv, precision=_PREC_HI)
     logdet = 2.0 * jnp.sum(
         jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)

@@ -29,7 +29,10 @@ def enable_persistent_cache() -> str:
     # the backend, and a remote platform (the tunneled TPU) may block on its
     # chip claim — picking a cache dir must never do that.
     plat = os.environ.get("JAX_PLATFORMS", "").lower()
-    if "cpu" in plat:
+    plats = [p.strip() for p in plat.split(",") if p.strip()]
+    # only force CPU when it is the env's FIRST choice — "tpu,cpu" is a
+    # valid priority list meaning "prefer tpu"
+    if plats and plats[0] == "cpu":
         backend = "cpu"
         # The environment's TPU site hook may patch jax's backend getter in
         # a way that only honors the *config* value, initializing the remote
@@ -41,8 +44,8 @@ def enable_persistent_cache() -> str:
             jax.config.update("jax_platforms", "cpu")
         except Exception:  # pragma: no cover - backends already initialized
             pass
-    elif plat:
-        backend = plat
+    elif plats:
+        backend = plats[0]
     else:
         try:
             backend = jax.default_backend()

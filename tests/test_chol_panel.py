@@ -126,31 +126,53 @@ def test_lml_from_K_panel_grad_matches():
 
 def test_full_fit_under_panel_impl():
     """End-to-end fit + forecast with the panel core selected: guards the
-    future TPU default flip (capacities are 32-granule so the panel path is
-    the one actually exercised at cap 64)."""
-    import datetime as dtm
+    future TPU default flip.
 
-    import nowcastautogp_tpu as ngp
-    from nowcastautogp_tpu.ops import lml as lml_mod
+    Runs in a SUBPROCESS with NGP_CHOL_IMPL=panel because the chol impl is
+    resolved at trace time and is not part of any jit cache key — flipping
+    it in-process could either reuse programs another test already traced
+    under 'xla' (a vacuous pass) or bake 'panel' into the module-level jit
+    caches every later same-shape test silently inherits.  The env knob
+    gives a hermetic process where every program genuinely traces panel.
+    """
+    import os
+    import subprocess
+    import sys
 
-    rng = np.random.default_rng(17)
-    n = 30
-    dates = [dtm.date(2023, 1, 2) + dtm.timedelta(weeks=i) for i in range(n)]
-    obs = 50 * np.exp(0.02 * np.arange(n) + 0.1 * rng.standard_normal(n))
-    data = ngp.create_transformed_data(dates, obs, transformation=np.log)
-    prior = lml_mod._CHOL_IMPL
-    try:
-        lml_mod.set_chol_impl("panel")
-        m = ngp.make_and_fit_model(
-            data, n_particles=2, smc_data_proportion=0.34, n_mcmc=2,
-            n_hmc=2, seed=3)
-        fdates = [dates[-1] + dtm.timedelta(weeks=i + 1) for i in range(2)]
-        fc = ngp.forecast(m, fdates, 40, inv_transformation=np.exp)
-    finally:
-        lml_mod.set_chol_impl(prior)
-    assert fc.shape == (2, 40)
-    assert np.all(np.isfinite(fc)) and np.all(fc > 0)
-    assert np.all(np.isfinite(np.asarray(m.log_weight)))
+    code = """
+import jax; jax.config.update('jax_platforms', 'cpu')
+import datetime as dtm
+import numpy as np
+import nowcastautogp_tpu as ngp
+from nowcastautogp_tpu.utils.cache import enable_persistent_cache
+enable_persistent_cache()
+from nowcastautogp_tpu.ops import lml as lml_mod
+
+assert lml_mod._CHOL_IMPL == 'panel', lml_mod._CHOL_IMPL
+rng = np.random.default_rng(17)
+n = 30
+dates = [dtm.date(2023, 1, 2) + dtm.timedelta(weeks=i) for i in range(n)]
+obs = 50 * np.exp(0.02 * np.arange(n) + 0.1 * rng.standard_normal(n))
+data = ngp.create_transformed_data(dates, obs, transformation=np.log)
+m = ngp.make_and_fit_model(
+    data, n_particles=2, smc_data_proportion=0.34, n_mcmc=2, n_hmc=2, seed=3)
+fdates = [dates[-1] + dtm.timedelta(weeks=i + 1) for i in range(2)]
+fc = ngp.forecast(m, fdates, 40, inv_transformation=np.exp)
+assert fc.shape == (2, 40)
+assert np.all(np.isfinite(fc)) and np.all(fc > 0)
+assert np.all(np.isfinite(np.asarray(m.log_weight)))
+print('PANEL-FIT-OK')
+"""
+    env = dict(os.environ)
+    env["NGP_CHOL_IMPL"] = "panel"
+    env["JAX_PLATFORMS"] = "cpu"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, "-c", code], env=env, cwd=repo,
+        capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "PANEL-FIT-OK" in proc.stdout
 
 
 def test_lml_from_K_panel_falls_back_off_granule():

@@ -33,8 +33,9 @@ def main():
     ap.add_argument("--grad", action="store_true")
     args = ap.parse_args()
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/ngp_jax_cache_tpu")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from nowcastautogp_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     from nowcastautogp_tpu.models.config import GPConfig
     from nowcastautogp_tpu.models.structures import sample_particle
@@ -98,7 +99,6 @@ def main():
         ops = collections.Counter()
         big_copies = []
         for line in txt.splitlines():
-            m = re.match(r"\s*(?:ROOT )?%?[\w.\-]+ = (\w+)\(", line.strip())
             m2 = re.match(
                 r"\s*(?:ROOT )?%?[\w.\-]+ = (\S+?)\s+(\w+)\(", line.strip())
             if m2:

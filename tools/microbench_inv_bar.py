@@ -86,9 +86,12 @@ def main():
             jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
         return Ainv, logdet
 
-    from nowcastautogp_tpu.ops.chol_panel import cholesky_panel, tri_inv_panel
+    from nowcastautogp_tpu.ops.chol_panel import cholesky_panel
 
-    def _inv_fwd_panel(A):
+    def _inv_fwd_panel_xla_trtri(A):
+        # NON-shipped alternative: panel factorization but XLA's While-loop
+        # n-RHS solve (the shipped 'panel' impl is lml._ainv_logdet_panel —
+        # panel chol + blocked panel trtri, zero While loops)
         L = cholesky_panel(A)
         n = A.shape[-1]
         eye = jnp.broadcast_to(jnp.eye(n, dtype=A.dtype), A.shape)
@@ -99,18 +102,10 @@ def main():
             jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
         return Ainv, logdet
 
-    def _inv_fwd_panel_full(A):
-        L = cholesky_panel(A)
-        Linv = tri_inv_panel(L)
-        Ainv = jnp.einsum("pki,pkj->pij", Linv, Linv, precision=HI)
-        logdet = 2.0 * jnp.sum(
-            jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
-        return Ainv, logdet
-
     cores = {
         "inv": _make_inv_core(_inv_fwd_trtri),
-        "inv_panel": _make_inv_core(_inv_fwd_panel),
-        "inv_panel_full": _make_inv_core(_inv_fwd_panel_full),
+        "inv_panel_xla": _make_inv_core(_inv_fwd_panel_xla_trtri),
+        "inv_panel": _make_inv_core(lml_mod._ainv_logdet_panel),
         "inv_st": _make_inv_core(_inv_fwd_static),
         "inv_st_bar": _make_inv_core(
             lambda A: _inv_fwd_static(jax.lax.optimization_barrier(A))),
