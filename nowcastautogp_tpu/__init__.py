@@ -26,6 +26,7 @@ from .forecasting import forecast
 from .inference.schedule import linear_schedule
 from .inference.smc import fit_smc
 from .models.config import DEFAULT_DEPTH, GPConfig, HMCConfig
+from .models.decompose import decompose
 from .models.gp_model import (
     GPModel, add_data, maybe_resample, mcmc_parameters, mcmc_structure,
     num_particles, predict_mvn,
@@ -48,7 +49,7 @@ __all__ = [
     "create_transformed_data", "get_transformations", "make_and_fit_model",
     "forecast", "forecast_with_nowcasts", "create_nowcast_data",
     # engine surface (reached via AutoGP.* in the reference)
-    "fit_smc", "add_data", "predict_mvn", "maybe_resample",
+    "fit_smc", "add_data", "predict_mvn", "decompose", "maybe_resample",
     "mcmc_structure", "mcmc_parameters", "num_particles", "linear_schedule",
     "HMCConfig", "MvNormalMixture", "DEFAULT_DEPTH",
     # evaluation & observability & checkpointing
