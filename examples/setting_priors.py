@@ -89,6 +89,16 @@ def run(full: bool = False, smoke: bool = False):
             results.setdefault(name, []).append(float(crps))
             print(f"w={w} {name}: mean log-CRPS {crps:.4f}")
 
+        # interpretability: additive component split of the best-informed
+        # prior's top-weight particle (the posterior's trend/seasonal story)
+        dec = ngp.decompose(model, f_dates)
+        top = max(dec, key=lambda d: d["weight"])
+        print(f"w={w} top-weight structure: {top['structure']}")
+        for comp in top["components"]:
+            contrib = float(np.mean(np.abs(comp["mean"])))
+            print(f"    component {comp['structure']}: "
+                  f"mean |contribution| {contrib:.3f} (transformed scale)")
+
     summary = {k: float(np.mean(v)) for k, v in results.items()}
     print(json.dumps({"mean_log_crps": summary}, indent=2))
     return summary
