@@ -9,7 +9,7 @@ from nowcastautogp_tpu.models.decompose import (
     _component_roots, _extract_subtree, decompose,
 )
 from nowcastautogp_tpu.models.structures import (
-    CONST, EMPTY, LINEAR, PERIODIC, PLUS, SE, TIMES, structure_to_str,
+    CONST, CP, EMPTY, LINEAR, PERIODIC, PLUS, SE, TIMES, structure_to_str,
 )
 
 
@@ -36,6 +36,12 @@ class TestComponentRoots:
     def test_times_stays_atomic(self):
         # (Linear x Periodic) + Const -> two addends, product intact
         t = _heap({0: PLUS, 1: TIMES, 2: CONST, 3: LINEAR, 4: PERIODIC})
+        assert _component_roots(t) == [1, 2]
+
+    def test_changepoint_stays_atomic(self):
+        # CP(SE; Periodic) + Linear -> the changepoint is one component
+        # (a CP is not additive: it gates its children by location)
+        t = _heap({0: PLUS, 1: CP, 2: LINEAR, 3: SE, 4: PERIODIC})
         assert _component_roots(t) == [1, 2]
 
 
