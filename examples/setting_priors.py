@@ -81,8 +81,10 @@ def run(full: bool = False, smoke: bool = False):
         data = ngp.create_transformed_data(dates[:w], obs[:w], transformation=fwd)
         f_dates = dates[w: w + horizon]
         f_truth = obs[w: w + horizon]
+        fitted = {}
         for name, cfg in configs.items():
             model = ngp.make_and_fit_model(data, config=cfg, seed=7, **fit_kw)
+            fitted[name] = model
             fc = ngp.forecast(model, f_dates, n_draws, inv_transformation=inv)
             crps = ngp.crps_matrix(np.log(np.maximum(fc, 1e-6)),
                                    np.log(f_truth)).mean()
@@ -91,7 +93,7 @@ def run(full: bool = False, smoke: bool = False):
 
         # interpretability: additive component split of the best-informed
         # prior's top-weight particle (the posterior's trend/seasonal story)
-        dec = ngp.decompose(model, f_dates)
+        dec = ngp.decompose(fitted["seasonal_lin_period"], f_dates)
         top = max(dec, key=lambda d: d["weight"])
         print(f"w={w} top-weight structure: {top['structure']}")
         for comp in top["components"]:

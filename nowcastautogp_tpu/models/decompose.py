@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from ..ops.kernels import cov_fn as eval_cov
 from ..ops.lml import DEFAULT_JITTER, masked_kernel_matrix
+from .gp_model import normalized_weights
 from .structures import BINARY_TYPES, EMPTY, PLUS, structure_to_str
 
 __all__ = ["decompose"]
@@ -33,9 +34,12 @@ __all__ = ["decompose"]
 
 def _component_roots(node_types: np.ndarray) -> list[int]:
     """Heap indices of the maximal non-PLUS subtrees (root-level addends)."""
+    n = node_types.shape[0]
     roots, stack = [], [0]
     while stack:
         i = stack.pop()
+        if i >= n or int(node_types[i]) == EMPTY:
+            continue
         if int(node_types[i]) == PLUS:
             stack.extend((2 * i + 1, 2 * i + 2))
         else:
@@ -81,6 +85,10 @@ def decompose(model, ds) -> list[dict]:
                                     # observation noise)
          ]}
 
+    A numerically broken particle (non-PSD covariance, the state the LML
+    sites map to the -1e10 sentinel) gets ``"components": []`` plus
+    ``"broken": True`` instead of silent NaN means.
+
     Values are on the transformed-data scale like ``predict_mvn``; apply the
     model's inverse transformation downstream if original-scale components
     are wanted (note a nonlinear inverse does not preserve additivity).
@@ -94,9 +102,7 @@ def decompose(model, ds) -> list[dict]:
     params_all = np.asarray(model._params_d)
     log_noise = np.asarray(model._log_noise_d)
 
-    lw = model.log_weight - model.log_weight.max()
-    w = np.exp(lw)
-    w = w / w.sum()
+    w = normalized_weights(model)
 
     y_std = float(model._y_std)
     out = []
@@ -106,6 +112,17 @@ def decompose(model, ds) -> list[dict]:
             jnp.asarray(log_noise[p]), x, mask, DEFAULT_JITTER,
         )
         L = jnp.linalg.cholesky(A)
+        if not bool(jnp.all(jnp.isfinite(L))):
+            # numerically broken particle (non-PSD covariance): the LML
+            # sites map this state to the -1e10 sentinel; here we skip the
+            # component split instead of emitting silent NaNs
+            out.append({
+                "structure": structure_to_str(types_all[p]),
+                "weight": float(w[p]),
+                "components": [],
+                "broken": True,
+            })
+            continue
         ym = y * mask
         alpha = jax.scipy.linalg.cho_solve((L, True), ym)
         comps = []

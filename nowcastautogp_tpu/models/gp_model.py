@@ -313,6 +313,13 @@ def num_particles(model: GPModel) -> int:
     return model.num_particles
 
 
+def normalized_weights(model: GPModel) -> np.ndarray:
+    """Normalized importance weights of the particle ensemble (float64)."""
+    lw = model.log_weight - model.log_weight.max()
+    w = np.exp(lw)
+    return w / w.sum()
+
+
 def predict_mvn(model: GPModel, ds, *, include_noise: bool = True) -> MvNormalMixture:
     """Predictive posterior at ``ds`` as a weighted mixture over particles.
 
@@ -325,9 +332,7 @@ def predict_mvn(model: GPModel, ds, *, include_noise: bool = True) -> MvNormalMi
         jnp.asarray(model._host_types), model._params_d, model._log_noise_d,
         x, y, m, xs, DEFAULT_JITTER, include_noise,
     )
-    lw = model.log_weight - model.log_weight.max()
-    w = np.exp(lw)
-    w /= w.sum()
+    w = normalized_weights(model)
     mu = model._y_mean + model._y_std * np.asarray(mu, dtype=np.float64)
     cov = (model._y_std**2) * np.asarray(cov, dtype=np.float64)
     return MvNormalMixture(w, mu, cov)

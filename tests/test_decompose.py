@@ -44,6 +44,16 @@ class TestComponentRoots:
         t = _heap({0: PLUS, 1: CP, 2: LINEAR, 3: SE, 4: PERIODIC})
         assert _component_roots(t) == [1, 2]
 
+    def test_deepest_level_plus_does_not_overflow(self):
+        # a (corrupt/hand-built) PLUS in the deepest heap level must not
+        # index past the buffer; its out-of-range children are skipped
+        t = _heap({0: PLUS, 1: SE, 2: PLUS, 5: LINEAR, 6: PLUS}, n=7)
+        assert _component_roots(t) == [1, 5]
+
+    def test_empty_child_of_plus_is_skipped(self):
+        t = _heap({0: PLUS, 1: SE})  # slot 2 EMPTY
+        assert _component_roots(t) == [1]
+
 
 class TestExtractSubtree:
     def test_extracts_product_to_root(self):
@@ -94,3 +104,19 @@ class TestDecomposePosterior:
         dec = decompose(model, fdates)
         for d, t in zip(dec, model._host_types):
             assert len(d["components"]) == len(_component_roots(np.asarray(t)))
+
+    def test_broken_particle_flagged_not_nan(self):
+        # blow one particle's amplitude far past f32 range: its covariance
+        # Cholesky is NaN; decompose must flag it instead of emitting NaNs
+        model, fdates = self._model()
+        params = np.asarray(model._params_d).copy()
+        params[0, :, :] = 200.0  # exp(200) overflows f32 -> non-finite A
+        import jax.numpy as jnp
+        model._params_d = jnp.asarray(params)
+        dec = decompose(model, fdates)
+        assert dec[0].get("broken") is True
+        assert dec[0]["components"] == []
+        for d in dec[1:]:
+            assert "broken" not in d
+            for c in d["components"]:
+                assert np.all(np.isfinite(c["mean"]))
