@@ -121,8 +121,12 @@ def _resolve_backend(n_nodes: int, n: int) -> str:
     if _LML_BACKEND == "mega":
         return "mega" if megacov_supported(n_nodes, n) else "jnp"
     if _LML_BACKEND == "auto":
+        from .pallas_megacov import _tiled
+
+        # auto only takes the measured single-plane region; the tiled-plane
+        # path (n_pad > 512) is explicit opt-in until it has TPU numbers
         return ("mega" if _on_tpu() and megacov_supported(n_nodes, n)
-                else "jnp")
+                and not _tiled(n) else "jnp")
     return _LML_BACKEND
 
 

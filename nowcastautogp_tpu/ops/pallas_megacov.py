@@ -65,9 +65,14 @@ _NF = 7
  _M_P0, _M_P1, _M_P2) = range(11)
 _NI = 11
 
-# beyond this (padded) n the backward's two (N, C, n, n) scratches exceed the
-# VMEM budget even at C=1; callers fall back to the jnp interpreter
-MAX_MEGA_N = 512
+# beyond this (padded) n a single grid step's (N, C, n, n) scratches exceed
+# the VMEM budget even at C=1, so the covariance plane is tiled into
+# (_TILE, _TILE) blocks with a revisited accumulating dparams output (every
+# parameter gradient is a sum of elementwise-in-(row, col) terms, hence
+# tile-additive); the cap below only bounds HBM for the (P, n, n) output
+_PLANE_N = 512
+_TILE = 256
+MAX_MEGA_N = 2048
 _VMEM_LIMIT = 100 * 1024 * 1024
 
 _INTERPRET = False
@@ -84,11 +89,18 @@ def megacov_supported(n_nodes: int, n: int) -> bool:
     return n_nodes <= 63 and 8 <= n <= MAX_MEGA_N and n % 8 == 0
 
 
+def _tiled(n: int) -> bool:
+    return int(math.ceil(n / 128)) * 128 > _PLANE_N
+
+
 def _chunk_for(n: int, n_nodes: int, n_scratch: int) -> int:
-    """Particles per grid step keeping n_scratch (N, C, n, n_pad) buffers
+    """Particles per grid step keeping n_scratch (N, C, tr, tc) buffers
     (plus block operands) under the VMEM budget."""
-    n_pad = int(math.ceil(n / 128)) * 128
-    per_particle = n_nodes * n * n_pad * 4
+    if _tiled(n):
+        tr = tc = _TILE
+    else:
+        tr, tc = n, int(math.ceil(n / 128)) * 128
+    per_particle = n_nodes * tr * tc * 4
     # 24 MB reserve for the pipelined in/out blocks + compiler stack: the
     # old 12 MB margin OOMed at n=160/C=16 (scoped alloc 102.7M vs the
     # 100M limit — non-128-multiple n pays a 1.6x lane-padding ratio)
@@ -198,10 +210,18 @@ def _cov_fwd_kernel(flags_ref, info_ref, xc_ref, xr_ref, out_ref, vals, *, N):
 
 
 def _cov_bwd_kernel(flags_ref, info_ref, xc_ref, xr_ref, dk_ref,
-                    dparams_ref, vals, dvals, *, N):
+                    dparams_ref, *scratch, N, tiled=False):
     import os
 
     from jax.experimental import pallas as pl
+
+    if tiled:
+        # dparams_ref is revisited across the (tr, tc) tile grid: per-node
+        # grads land in the dp scratch, the epilogue accumulates them
+        vals, dvals, dp = scratch
+    else:
+        vals, dvals = scratch
+        dp = dparams_ref
 
     ablate = set(os.environ.get("MEGA_ABLATE", "").split(","))
 
@@ -222,9 +242,9 @@ def _cov_bwd_kernel(flags_ref, info_ref, xc_ref, xr_ref, dk_ref,
         li = jnp.minimum(2 * i + 1, N - 1)
         ri = jnp.minimum(2 * i + 2, N - 1)
         z11 = jnp.zeros_like(info_ref[i, 0])     # (C, 1, 1)
-        dparams_ref[3 * i] = z11
-        dparams_ref[3 * i + 1] = z11
-        dparams_ref[3 * i + 2] = z11
+        dp[3 * i] = z11
+        dp[3 * i + 1] = z11
+        dp[3 * i + 2] = z11
 
         def f(j):
             return flags_ref[i, j] != 0
@@ -248,9 +268,9 @@ def _cov_bwd_kernel(flags_ref, info_ref, xc_ref, xr_ref, dk_ref,
                 g2 = jnp.where(m(_M_GE) | m(_M_PER), damp, z11)
                 g0 = g0 + jnp.where(
                     m(_M_SE), _rsum11(dv * k * r2 * jnp.exp(-2.0 * p0)), z11)
-                dparams_ref[3 * i] = g0
-                dparams_ref[3 * i + 1] = g1
-                dparams_ref[3 * i + 2] = g2
+                dp[3 * i] = g0
+                dp[3 * i + 1] = g1
+                dp[3 * i + 2] = g2
 
         if "bge" not in ablate:
             @pl.when(f(_F_GE))
@@ -271,8 +291,8 @@ def _cov_bwd_kernel(flags_ref, info_ref, xc_ref, xr_ref, dk_ref,
                     m(_M_GE),
                     _rsum11(dv * (-k) * pow_t * w * gamma * (1.0 - sig) * rpos),
                     z11)
-                dparams_ref[3 * i] = dparams_ref[3 * i] + g0
-                dparams_ref[3 * i + 1] = dparams_ref[3 * i + 1] + g1
+                dp[3 * i] = dp[3 * i] + g0
+                dp[3 * i + 1] = dp[3 * i + 1] + g1
 
         if "bper" not in ablate:
             @pl.when(f(_F_PER))
@@ -287,8 +307,8 @@ def _cov_bwd_kernel(flags_ref, info_ref, xc_ref, xr_ref, dk_ref,
                 g1 = jnp.where(
                     m(_M_PER),
                     _rsum11(dv * k * 4.0 * s * jnp.cos(arg) * arg * e2), z11)
-                dparams_ref[3 * i] = dparams_ref[3 * i] + g0
-                dparams_ref[3 * i + 1] = dparams_ref[3 * i + 1] + g1
+                dp[3 * i] = dp[3 * i] + g0
+                dp[3 * i + 1] = dp[3 * i + 1] + g1
 
         if "blin" not in ablate:
             @pl.when(f(_F_LIN))
@@ -301,8 +321,8 @@ def _cov_bwd_kernel(flags_ref, info_ref, xc_ref, xr_ref, dk_ref,
                     _rsum11(dv * (-jnp.exp(p1))
                             * ((xc - p0) + (xr - p0))), z11)
                 g1 = jnp.where(m(_M_LIN), _rsum11(dv * k), z11)
-                dparams_ref[3 * i] = dparams_ref[3 * i] + g0
-                dparams_ref[3 * i + 1] = dparams_ref[3 * i + 1] + g1
+                dp[3 * i] = dp[3 * i] + g0
+                dp[3 * i + 1] = dp[3 * i + 1] + g1
 
         if "bint" not in ablate:
             @pl.when(f(_F_INTERNAL))
@@ -342,14 +362,30 @@ def _cov_bwd_kernel(flags_ref, info_ref, xc_ref, xr_ref, dk_ref,
                       + jnp.sum(a2 * spr * (-inv_s), axis=2, keepdims=True))
                 g1 = (jnp.sum(a1 * spc * (-zc), axis=1, keepdims=True)
                       + jnp.sum(a2 * spr * (-zr), axis=2, keepdims=True))
-                dparams_ref[3 * i] = dparams_ref[3 * i] + jnp.where(
+                dp[3 * i] = dp[3 * i] + jnp.where(
                     m(_M_CP), g0, z11)
-                dparams_ref[3 * i + 1] = dparams_ref[3 * i + 1] + jnp.where(
+                dp[3 * i + 1] = dp[3 * i + 1] + jnp.where(
                     m(_M_CP), g1, z11)
 
         return carry
 
     jax.lax.fori_loop(0, N, bwd_body, 0)
+
+    if tiled:
+        first = (pl.program_id(1) == 0) & (pl.program_id(2) == 0)
+
+        def epi(k, carry):
+            @pl.when(first)
+            def _():
+                dparams_ref[k] = dp[k]
+
+            @pl.when(jnp.logical_not(first))
+            def _():
+                dparams_ref[k] = dparams_ref[k] + dp[k]
+
+            return carry
+
+        jax.lax.fori_loop(0, 3 * N, epi, 0)
 
 
 def _chunk_flags(types_g):
@@ -397,7 +433,12 @@ def _pack(types, params, x, C):
     """
     P, N = types.shape
     n = x.shape[1]
-    n_pad = int(math.ceil(n / 128)) * 128
+    if _tiled(n):
+        # both plane axes are tiled into (_TILE, _TILE) blocks, so rows pad
+        # to the tile multiple too (padded x is 0; rows/cols sliced off)
+        n_pad = -(-n // _TILE) * _TILE
+    else:
+        n_pad = int(math.ceil(n / 128)) * 128
     G = -(-P // C)
     Pp = G * C
     if Pp != P:
@@ -410,8 +451,8 @@ def _pack(types, params, x, C):
     flags = _chunk_flags(types.reshape(G, C, N))
     info = _nodeinfo(types, params, G, C, N)
     xpad = jnp.pad(x, ((0, 0), (0, n_pad - n))) if n_pad != n else x
-    xc = x[:, :, None]                          # (Pp, n, 1)
-    xr = xpad[:, None, :]                       # (Pp, 1, n_pad)
+    xc = (xpad if _tiled(n) else x)[:, :, None]  # (Pp, n|n_pad, 1)
+    xr = xpad[:, None, :]                        # (Pp, 1, n_pad)
     return flags, info, xc, xr, G, Pp, n_pad
 
 
@@ -432,6 +473,26 @@ def _specs(C, N, n, interpret):
     xc_spec = pl.BlockSpec((C, n, 1), lambda g: (g, 0, 0))
     xr_spec = pl.BlockSpec((C, 1, n_pad), lambda g: (g, 0, 0))
     k_spec = pl.BlockSpec((C, n, n_pad), lambda g: (g, 0, 0))
+    return flags_spec, info_spec, xc_spec, xr_spec, k_spec
+
+
+def _specs_tiled(C, N, interpret):
+    """Block specs for the (grid, tile_row, tile_col) tiled plane."""
+    from jax.experimental import pallas as pl
+
+    if interpret:
+        smem = {}
+    else:
+        from jax.experimental.pallas import tpu as pltpu
+
+        smem = {"memory_space": pltpu.SMEM}
+    flags_spec = pl.BlockSpec((None, N, _NF), lambda g, i, j: (g, 0, 0),
+                              **smem)
+    info_spec = pl.BlockSpec((N, _NI, C, 1, 1),
+                             lambda g, i, j: (g, 0, 0, 0, 0))
+    xc_spec = pl.BlockSpec((C, _TILE, 1), lambda g, i, j: (g, i, 0))
+    xr_spec = pl.BlockSpec((C, 1, _TILE), lambda g, i, j: (g, 0, j))
+    k_spec = pl.BlockSpec((C, _TILE, _TILE), lambda g, i, j: (g, i, j))
     return flags_spec, info_spec, xc_spec, xr_spec, k_spec
 
 
@@ -458,6 +519,20 @@ def _fwd_call(types, params, x, interpret):
     n = x.shape[1]
     C = _chunk_for(n, N, 1)
     flags, info, xc, xr, G, Pp, n_pad = _pack(types, params, x, C)
+    if _tiled(n):
+        T = n_pad // _TILE
+        fs, infs, xcs, xrs, ks = _specs_tiled(C, N, interpret)
+        out = pl.pallas_call(
+            functools.partial(_cov_fwd_kernel, N=N),
+            grid=(G, T, T),
+            in_specs=[fs, infs, xcs, xrs],
+            out_specs=ks,
+            out_shape=jax.ShapeDtypeStruct((Pp, n_pad, n_pad), jnp.float32),
+            scratch_shapes=_scratch([(N, C, _TILE, _TILE)], interpret),
+            interpret=interpret,
+            **_compiler_kwargs(interpret),
+        )(flags, info, xc, xr)
+        return out[:P, :n, :n]
     fs, infs, xcs, xrs, ks = _specs(C, N, n, interpret)
     out = pl.pallas_call(
         functools.partial(_cov_fwd_kernel, N=N),
@@ -479,6 +554,26 @@ def _bwd_call(types, params, x, dk, interpret):
     n = x.shape[1]
     C = _chunk_for(n, N, 2)
     flags, info, xc, xr, G, Pp, n_pad = _pack(types, params, x, C)
+    if _tiled(n):
+        T = n_pad // _TILE
+        dk = jnp.pad(dk, ((0, Pp - P), (0, n_pad - n), (0, n_pad - n)))
+        fs, infs, xcs, xrs, ks = _specs_tiled(C, N, interpret)
+        dp_spec = pl.BlockSpec((None, N * 3, C, 1, 1),
+                               lambda g, i, j: (g, 0, 0, 0, 0))
+        dparams_l = pl.pallas_call(
+            functools.partial(_cov_bwd_kernel, N=N, tiled=True),
+            grid=(G, T, T),
+            in_specs=[fs, infs, xcs, xrs, ks],
+            out_specs=dp_spec,
+            out_shape=jax.ShapeDtypeStruct((G, N * 3, C, 1, 1), jnp.float32),
+            scratch_shapes=_scratch(
+                [(N, C, _TILE, _TILE), (N, C, _TILE, _TILE),
+                 (N * 3, C, 1, 1)], interpret),
+            interpret=interpret,
+            **_compiler_kwargs(interpret),
+        )(flags, info, xc, xr, dk)
+        dparams = dparams_l.reshape(G, N, 3, C).transpose(0, 3, 1, 2)
+        return dparams.reshape(Pp, N, 3)[:P]
     dk = jnp.pad(dk, ((0, Pp - P), (0, 0), (0, n_pad - n)))
     fs, infs, xcs, xrs, ks = _specs(C, N, n, interpret)
     dp_spec = pl.BlockSpec((None, N * 3, C, 1, 1),

@@ -122,8 +122,38 @@ class TestForwardParity:
 
     def test_unsupported_shapes_flagged(self):
         assert not mega.megacov_supported(64, 100)  # n % 8 != 0
-        assert not mega.megacov_supported(64, 1024)  # beyond VMEM plan
+        assert not mega.megacov_supported(64, 1024)  # heap beyond 63 nodes
+        assert not mega.megacov_supported(31, 4096)  # beyond HBM plan
         assert mega.megacov_supported(31, 192)
+        assert mega.megacov_supported(31, 1024)  # tiled-plane path
+
+
+class TestTiledPlane:
+    """n past the single-step VMEM plan: the (_TILE, _TILE) tiled path with
+    the revisited accumulating dparams output."""
+
+    def test_forward_parity_n520(self):
+        # n=520 -> n_pad=768 = 3x3 tiles of 256, with row/col padding live
+        types, params = _handcrafted_particles()
+        x = _x_rows(types.shape[0], 520)
+        assert mega._tiled(520)
+        K = mega.cov_batched_fused(types, params, x)
+        assert K.shape == (types.shape[0], 520, 520)
+        K_ref = _ref_cov(types, params, x)
+        np.testing.assert_allclose(np.asarray(K), np.asarray(K_ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_grad_parity_n520(self):
+        types, params = _handcrafted_particles()
+        x = _x_rows(types.shape[0], 520)
+        rng = np.random.default_rng(23)
+        W = jnp.asarray(rng.standard_normal(
+            (types.shape[0], 520, 520)).astype(np.float32))
+        g1 = jax.grad(lambda p: jnp.sum(
+            W * mega.cov_batched_fused(types, p, x)))(params)
+        g2 = jax.grad(lambda p: jnp.sum(W * _ref_cov(types, p, x)))(params)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=2e-3, atol=2e-3)
 
 
 class TestGradParity:
