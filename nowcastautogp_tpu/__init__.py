@@ -21,6 +21,10 @@ from .eval.crps import (
     crps_ensemble, crps_matrix, quantile_matrix, quantile_matrix_device,
 )
 from .eval.acceptance import run_acceptance, synthetic_nhsn_vintage
+from .eval.wis import (
+    FLUSIGHT_QUANTILES, coverage_matrix, interval_score, wis_ensemble,
+    wis_matrix,
+)
 from .fitting import make_and_fit_model
 from .forecasting import forecast
 from .inference.schedule import linear_schedule
@@ -55,6 +59,8 @@ __all__ = [
     # evaluation & observability & checkpointing
     "crps_ensemble", "crps_matrix", "quantile_matrix",
     "quantile_matrix_device", "run_acceptance", "synthetic_nhsn_vintage",
+    "wis_ensemble", "wis_matrix", "interval_score", "coverage_matrix",
+    "FLUSIGHT_QUANTILES",
     "phase_report", "reset_phases", "device_trace",
     "save_model", "load_model",
     # vintaged-data workflow helpers

@@ -94,3 +94,99 @@ class TestQuantiles:
         q_host = quantile_matrix(fc, [0.05, 0.5, 0.95])
         q_dev = quantile_matrix_device(fc, [0.05, 0.5, 0.95])
         np.testing.assert_allclose(q_dev, q_host, atol=1e-4)
+
+
+class TestWIS:
+    """Weighted interval score (eval/wis.py) — Bracher et al. (2021) form."""
+
+    def test_interval_score_hand_values(self):
+        from nowcastautogp_tpu.eval.wis import interval_score
+
+        # inside: just the width
+        assert interval_score(1.0, 3.0, 0.2, 2.0) == 2.0
+        # below: width + (2/alpha)(l - y)
+        np.testing.assert_allclose(
+            interval_score(1.0, 3.0, 0.2, 0.5), 2.0 + 10.0 * 0.5)
+        # above: width + (2/alpha)(y - u)
+        np.testing.assert_allclose(
+            interval_score(1.0, 3.0, 0.5, 4.0), 2.0 + 4.0 * 1.0)
+
+    def test_interval_score_rejects_bad_alpha(self):
+        import pytest
+
+        from nowcastautogp_tpu.eval.wis import interval_score
+
+        with pytest.raises(ValueError):
+            interval_score(0.0, 1.0, 0.0, 0.5)
+        with pytest.raises(ValueError):
+            interval_score(0.0, 1.0, 1.5, 0.5)
+
+    def test_asymmetric_grid_rejected(self):
+        import pytest
+
+        from nowcastautogp_tpu.eval.wis import wis_ensemble
+
+        with pytest.raises(ValueError, match="symmetric"):
+            wis_ensemble(np.arange(100.0), 3.0, quantiles=[0.1, 0.5, 0.8])
+
+    def test_wis_approximates_crps_on_flusight_grid(self):
+        """WIS -> CRPS as the interval grid densifies (Bracher et al. 2021,
+        eq. 4).  On the 23-point FluSight grid the discretization under-weights
+        the tails, giving a consistent ~8% low bias for Gaussian ensembles —
+        pin that the two agree within 12% and that WIS sits below CRPS."""
+        from nowcastautogp_tpu.eval.wis import wis_ensemble
+
+        rng = np.random.default_rng(42)
+        for loc, y in ((0.0, 0.3), (2.0, -1.0), (-1.0, -1.2)):
+            draws = rng.normal(loc, 1.0, 20000)
+            w = wis_ensemble(draws, y)
+            c = crps_ensemble(draws, y)
+            assert 0.88 * c < w < c, (loc, y, w, c)
+
+    def test_wis_converges_to_crps_with_dense_grid(self):
+        """A 199-point symmetric grid closes the gap to <1.5%."""
+        from nowcastautogp_tpu.eval.wis import wis_ensemble
+
+        rng = np.random.default_rng(42)
+        dense = np.round(np.arange(1, 200) * 0.005, 6)
+        draws = rng.normal(0.0, 1.0, 20000)
+        w = wis_ensemble(draws, 0.3, quantiles=dense)
+        c = crps_ensemble(draws, 0.3)
+        assert abs(w - c) < 0.015 * c, (w, c)
+
+    def test_sharper_calibrated_ensemble_scores_better(self):
+        from nowcastautogp_tpu.eval.wis import wis_ensemble
+
+        rng = np.random.default_rng(11)
+        sharp = rng.normal(0, 0.5, 4000)
+        wide = rng.normal(0, 3.0, 4000)
+        assert wis_ensemble(sharp, 0.0) < wis_ensemble(wide, 0.0)
+
+    def test_matrix_rowwise(self):
+        from nowcastautogp_tpu.eval.wis import wis_ensemble, wis_matrix
+
+        rng = np.random.default_rng(3)
+        fc = rng.standard_normal((4, 300))
+        obs = rng.standard_normal(4)
+        rows = wis_matrix(fc, obs)
+        assert rows.shape == (4,)
+        for i in range(4):
+            np.testing.assert_allclose(rows[i], wis_ensemble(fc[i], obs[i]))
+
+    def test_coverage_matrix(self):
+        from nowcastautogp_tpu.eval.wis import coverage_matrix
+
+        rng = np.random.default_rng(8)
+        fc = rng.normal(0.0, 1.0, (400, 2000))
+        obs = rng.normal(0.0, 1.0, 400)  # perfectly calibrated truth
+        cov = coverage_matrix(fc, obs, levels=(0.5, 0.9))
+        assert set(cov) == {0.5, 0.9}
+        assert abs(cov[0.5] - 0.5) < 0.08
+        assert abs(cov[0.9] - 0.9) < 0.05
+
+    def test_package_exports(self):
+        import nowcastautogp_tpu as ngp
+
+        assert callable(ngp.wis_ensemble)
+        assert callable(ngp.wis_matrix)
+        assert len(ngp.FLUSIGHT_QUANTILES) == 23
