@@ -56,3 +56,10 @@ class TestExamplesRun:
             "nowcast_forecast_hmc"}
         assert all(np.isfinite(v) for v in res["scores"].values())
         assert res["ratios"]["nowcast_hmc"] == 1.0
+
+    def test_online_update(self):
+        out = _load("online_update").run(smoke=True)
+        assert set(out["mean_log_crps"]) == {"online", "stale"}
+        assert all(np.isfinite(v) for v in out["mean_log_crps"].values())
+        # conditioning on the new weeks must not be slower than refitting
+        assert out["warm_update_s"] < out["initial_fit_s"]
