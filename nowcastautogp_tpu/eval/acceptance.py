@@ -29,9 +29,10 @@ from ..tdata import create_transformed_data
 from ..transforms import get_transformations
 from ..utils.data import VintagedData
 from .crps import crps_ensemble
+from .wis import wis_ensemble
 
 __all__ = ["synthetic_nhsn_vintage", "fit_on_data", "score_forecast",
-           "run_acceptance", "APPROACHES"]
+           "score_forecast_wis", "run_acceptance", "APPROACHES"]
 
 APPROACHES = ("naive", "leave_out_last", "nowcast", "nowcast_hmc",
               "nowcast_forecast_hmc")
@@ -123,6 +124,21 @@ def score_forecast(vintage: VintagedData, forecast_dates, forecasts,
     return total / max_horizon
 
 
+def score_forecast_wis(vintage: VintagedData, forecast_dates, forecasts,
+                       *, max_horizon: int = 4) -> float:
+    """Mean log-scale WIS over the first ``max_horizon`` forecast dates —
+    the same comparison as :func:`score_forecast` in the CDC hubs'
+    submission-format scoring rule (FluSight 23-quantile grid)."""
+    score_dates = list(forecast_dates)[:max_horizon]
+    finals = vintage.final(score_dates)
+    total = 0.0
+    for h in range(max_horizon):
+        total += wis_ensemble(
+            np.log(np.maximum(forecasts[h], 1e-9)), float(np.log(finals[h]))
+        )
+    return total / max_horizon
+
+
 def _forecasts_for(fitted, approach: str, *, n_forecasts: int,
                    n_nowcast_samples: int, rng: np.random.Generator,
                    log_mean: float = 0.1, log_sd: float = 0.027):
@@ -174,7 +190,9 @@ def run_acceptance(vintage: VintagedData | None = None, *,
 
     Result: {"scores": {approach: mean CRPS}, "ratios": {approach: score /
     nowcast_hmc score}, "per_report": {...}} — ratios mirror the vignette's
-    bar chart (baseline = nowcast_hmc, ``getting-started.jl:817-819``).
+    bar chart (baseline = nowcast_hmc, ``getting-started.jl:817-819``) —
+    plus the same comparison under WIS ("scores_wis" / "ratios_wis",
+    FluSight quantile grid) so both scoring rules are on record.
     """
     import logging
 
@@ -188,6 +206,7 @@ def run_acceptance(vintage: VintagedData | None = None, *,
     report_dates = list(report_dates)  # a generator would exhaust in the loop
     rng = np.random.default_rng(seed)
     per_report: dict[str, list[float]] = {a: [] for a in APPROACHES}
+    per_report_wis: dict[str, list[float]] = {a: [] for a in APPROACHES}
     for i, rd in enumerate(report_dates):
         fitted = fit_on_data(vintage, rd, seed=seed + 1000 + i, **fit_kwargs)
         for approach in APPROACHES:
@@ -198,11 +217,18 @@ def run_acceptance(vintage: VintagedData | None = None, *,
             s = score_forecast(vintage, fitted["forecast_dates"], fc,
                                max_horizon=max_horizon)
             per_report[approach].append(s)
+            per_report_wis[approach].append(score_forecast_wis(
+                vintage, fitted["forecast_dates"], fc,
+                max_horizon=max_horizon))
             if verbose:
                 log.info("report %d/%d %s: CRPS %.4f",
                          i + 1, len(report_dates), approach, s)
     scores = {a: float(np.mean(v)) for a, v in per_report.items()}
     base = scores["nowcast_hmc"]
     ratios = {a: float(s / base) for a, s in scores.items()}
+    scores_wis = {a: float(np.mean(v)) for a, v in per_report_wis.items()}
+    base_wis = scores_wis["nowcast_hmc"]
+    ratios_wis = {a: float(s / base_wis) for a, s in scores_wis.items()}
     return {"scores": scores, "ratios": ratios, "per_report": per_report,
+            "scores_wis": scores_wis, "ratios_wis": ratios_wis,
             "n_report_dates": len(report_dates)}

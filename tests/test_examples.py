@@ -56,6 +56,10 @@ class TestExamplesRun:
             "nowcast_forecast_hmc"}
         assert all(np.isfinite(v) for v in res["scores"].values())
         assert res["ratios"]["nowcast_hmc"] == 1.0
+        # WIS companion scoring rides along on the same draws
+        assert set(res["scores_wis"]) == set(res["scores"])
+        assert all(np.isfinite(v) for v in res["scores_wis"].values())
+        assert res["ratios_wis"]["nowcast_hmc"] == 1.0
 
     def test_online_update(self):
         out = _load("online_update").run(smoke=True)
