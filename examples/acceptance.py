@@ -76,7 +76,8 @@ def run(full: bool = False, smoke: bool = False, n_report_dates: int = 4,
     res["revision_model"] = rev
     res["rev_regime"] = rev_regime
     print(json.dumps({k: res[k] for k in
-                      ("scores", "ratios", "per_report", "n_report_dates",
+                      ("scores", "ratios", "scores_wis", "ratios_wis",
+                       "per_report", "n_report_dates",
                        "wallclock_s", "fit_kwargs", "revision_model")},
                      indent=2))
     return res

@@ -21,6 +21,7 @@ from .eval.crps import (
     crps_ensemble, crps_matrix, quantile_matrix, quantile_matrix_device,
 )
 from .eval.acceptance import run_acceptance, synthetic_nhsn_vintage
+from .eval.submission import quantile_submission, write_submission_csv
 from .eval.wis import (
     FLUSIGHT_QUANTILES, coverage_matrix, interval_score, wis_ensemble,
     wis_matrix,
@@ -60,7 +61,7 @@ __all__ = [
     "crps_ensemble", "crps_matrix", "quantile_matrix",
     "quantile_matrix_device", "run_acceptance", "synthetic_nhsn_vintage",
     "wis_ensemble", "wis_matrix", "interval_score", "coverage_matrix",
-    "FLUSIGHT_QUANTILES",
+    "FLUSIGHT_QUANTILES", "quantile_submission", "write_submission_csv",
     "phase_report", "reset_phases", "device_trace",
     "save_model", "load_model",
     # vintaged-data workflow helpers

@@ -190,3 +190,69 @@ class TestWIS:
         assert callable(ngp.wis_ensemble)
         assert callable(ngp.wis_matrix)
         assert len(ngp.FLUSIGHT_QUANTILES) == 23
+
+
+class TestSubmission:
+    """Hubverse quantile submission export (eval/submission.py)."""
+
+    def _rows(self):
+        import datetime as dt
+
+        from nowcastautogp_tpu.eval.submission import quantile_submission
+
+        rng = np.random.default_rng(4)
+        fc = rng.lognormal(5.0, 0.4, (3, 500))
+        dates = [dt.date(2024, 11, 9) + dt.timedelta(weeks=i)
+                 for i in range(3)]
+        return quantile_submission(fc, dates, location="06"), fc, dates
+
+    def test_row_count_and_schema(self):
+        rows, fc, dates = self._rows()
+        assert len(rows) == 3 * 23
+        assert set(rows[0]) == {
+            "reference_date", "target", "horizon", "target_end_date",
+            "location", "output_type", "output_type_id", "value"}
+        assert all(r["output_type"] == "quantile" for r in rows)
+        assert all(r["location"] == "06" for r in rows)
+
+    def test_horizons_and_reference_date(self):
+        rows, fc, dates = self._rows()
+        # default reference date = one week before the first target date
+        assert rows[0]["reference_date"] == "2024-11-02"
+        horizons = sorted({r["horizon"] for r in rows})
+        assert horizons == [1, 2, 3]
+
+    def test_quantiles_monotone_and_match_numpy(self):
+        from nowcastautogp_tpu.eval.wis import FLUSIGHT_QUANTILES
+
+        rows, fc, dates = self._rows()
+        per_date = {}
+        for r in rows:
+            per_date.setdefault(r["target_end_date"], []).append(r["value"])
+        for i, d in enumerate(dates):
+            vals = np.asarray(per_date[d.isoformat()])
+            assert np.all(np.diff(vals) >= 0)
+            np.testing.assert_allclose(
+                vals, np.quantile(fc[i], np.sort(FLUSIGHT_QUANTILES)))
+
+    def test_csv_round_trip(self, tmp_path):
+        import csv as _csv
+
+        from nowcastautogp_tpu.eval.submission import write_submission_csv
+
+        rows, _, _ = self._rows()
+        p = write_submission_csv(rows, str(tmp_path / "sub.csv"))
+        with open(p) as f:
+            back = list(_csv.DictReader(f))
+        assert len(back) == len(rows)
+        assert back[0]["output_type_id"] == rows[0]["output_type_id"]
+        np.testing.assert_allclose(
+            float(back[-1]["value"]), rows[-1]["value"])
+
+    def test_empty_rows_rejected(self):
+        import pytest
+
+        from nowcastautogp_tpu.eval.submission import write_submission_csv
+
+        with pytest.raises(ValueError):
+            write_submission_csv([], "/tmp/never.csv")
