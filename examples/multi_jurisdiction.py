@@ -84,12 +84,16 @@ def run(full: bool = False, smoke: bool = False, seed: int = 7):
     mesh = ngp.make_mesh(n_dev) if n_dev > 1 else None
     models = ngp.fit_panel(datasets, seed=seed, mesh=mesh, **fit_kw)
 
+    # forecast the whole panel in ONE batched predictive build too
+    # (forecast_panel: S x P rows, per-state time normalization + inverse
+    # transformation), then score each state
     f_dates = dates[w:]
     n_draws = 2000 if full else 200
+    fcs = ngp.forecast_panel(
+        models, f_dates, n_draws, seed=seed, mesh=mesh,
+        inv_transformations=[inv for _, inv in transforms])
     scores = {}
-    for s, (model, obs) in enumerate(zip(models, panel)):
-        _, inv = transforms[s]
-        fc = ngp.forecast(model, f_dates, n_draws, inv_transformation=inv)
+    for s, (fc, obs) in enumerate(zip(fcs, panel)):
         crps = ngp.crps_matrix(np.log(np.maximum(fc, 1e-6)),
                                np.log(obs[w:]))
         scores[f"state_{s}"] = float(crps.mean())

@@ -38,7 +38,7 @@ from .models.gp_model import (
 )
 from .models.posterior import MvNormalMixture
 from .nowcast import create_nowcast_data, forecast_with_nowcasts
-from .parallel.panel import fit_panel
+from .parallel.panel import fit_panel, forecast_panel, panel_predict_mvn
 from .parallel.sharding import make_mesh
 from .tdata import TData, create_transformed_data
 from .transforms import get_transformations
@@ -66,6 +66,6 @@ __all__ = [
     "save_model", "load_model",
     # vintaged-data workflow helpers
     "VintagedData", "load_vintaged_csv",
-    # multi-jurisdiction / multi-chip panel fitting
-    "fit_panel", "make_mesh",
+    # multi-jurisdiction / multi-chip panel fitting & forecasting
+    "fit_panel", "forecast_panel", "panel_predict_mvn", "make_mesh",
 ]

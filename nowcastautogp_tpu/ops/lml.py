@@ -360,6 +360,12 @@ gp_predict_impl = gp_predict
 gp_predict_batch = jax.jit(
     jax.vmap(gp_predict_impl, in_axes=(0, 0, 0, 0, 0, 0, None, None, None))
 )
+# Row-varying test points: each row carries its OWN xs (the panel forecast's
+# flattened series x particle rows, where every series has its own time
+# normalization).  Pure-XLA body, so the row axis shards over a Mesh.
+gp_predict_batch_rows = jax.jit(
+    jax.vmap(gp_predict_impl, in_axes=(0, 0, 0, 0, 0, 0, 0, None, None))
+)
 gp_predict = jax.jit(gp_predict_impl)
 
 

@@ -33,14 +33,19 @@ from ..inference.resample import gather_particles, resample_indices
 from ..inference.schedule import linear_schedule
 from ..inference.structure_mcmc import mcmc_structure_sweep
 from ..models.config import GPConfig, HMCConfig
-from ..models.gp_model import GPModel, _PAD, _pad_to
+from ..models.gp_model import GPModel, _PAD, _pad_to, normalized_weights
+from ..models.posterior import MvNormalMixture
 from ..models.structures import prior_arrays, sample_particle
-from ..ops.lml import DEFAULT_JITTER, gp_lml_batch_sharded
+from ..ops.lml import (
+    DEFAULT_JITTER, gp_lml_batch_sharded, gp_predict_batch_rows,
+    sampling_cholesky,
+)
 from ..fitting import _stabilize_for_fit
+from ..utils.apply import apply_elementwise
 from ..utils.dates import dates_to_float
 from .sharding import shard_rows
 
-__all__ = ["fit_panel"]
+__all__ = ["fit_panel", "panel_predict_mvn", "forecast_panel"]
 
 
 def fit_panel(
@@ -219,3 +224,120 @@ def fit_panel(
         })
         models.append(model)
     return models
+
+
+def _panel_predict_rows(models, forecast_dates, *, include_noise, mesh):
+    """One batched predictive build over the panel's S x P flattened rows.
+
+    Returns (mu, F) as float64 numpy on the ORIGINAL y scale of each series:
+    ``mu`` (S, P, nq) predictive means and ``F`` (S, P, nq, nq) PSD sampling
+    factors (``sampling_cholesky``), plus the per-series normalized weights
+    (S, P).
+    """
+    models = list(models)
+    S = len(models)
+    assert S > 0, "models must not be empty"
+    P = models[0].num_particles
+    assert all(m.num_particles == P for m in models), (
+        "panel forecast requires a shared particle count")
+    dates = list(forecast_dates)
+    nq = len(dates)
+    cap = max(int(m._cap) for m in models)
+
+    x_rows = np.zeros((S, cap), dtype=np.float32)
+    y_rows = np.zeros((S, cap), dtype=np.float32)
+    m_rows = np.zeros((S, cap), dtype=np.float32)
+    xs_rows = np.zeros((S, nq), dtype=np.float32)
+    types_l, params_l, noise_l, w_rows = [], [], [], []
+    for s, model in enumerate(models):
+        c = int(model._cap)
+        x_rows[s, :c] = np.asarray(model._x_d)
+        y_rows[s, :c] = np.asarray(model._y_d)
+        m_rows[s, :c] = np.asarray(model._mask())
+        xs_rows[s] = model._normalize_dates(dates).astype(np.float32)
+        types_l.append(model._host_types)
+        params_l.append(np.asarray(model._params_d))
+        noise_l.append(np.asarray(model._log_noise_d))
+        w_rows.append(normalized_weights(model))
+
+    rep = lambda a: jnp.asarray(np.repeat(a, P, axis=0))  # (S, cap)->(R, cap)
+    types = jnp.asarray(np.concatenate(types_l).astype(np.int32))
+    params = jnp.asarray(np.concatenate(params_l, axis=0))
+    log_noise = jnp.asarray(np.concatenate(noise_l))
+    x_b, y_b, m_b, xs_b = (rep(x_rows), rep(y_rows), rep(m_rows),
+                           rep(xs_rows))
+    if mesh is not None:
+        types, params, log_noise, x_b, y_b, m_b, xs_b = shard_rows(
+            (types, params, log_noise, x_b, y_b, m_b, xs_b), mesh)
+    mu, cov = gp_predict_batch_rows(
+        types, params, log_noise, x_b, y_b, m_b, xs_b,
+        DEFAULT_JITTER, include_noise)
+    F = sampling_cholesky(cov)
+
+    mu = np.asarray(mu, np.float64).reshape(S, P, nq)
+    F = np.asarray(F, np.float64).reshape(S, P, nq, nq)
+    y_mean = np.asarray([m._y_mean for m in models])[:, None, None]
+    y_std = np.asarray([m._y_std for m in models])[:, None, None]
+    mu = y_mean + y_std * mu
+    F = y_std[..., None] * F
+    return mu, F, np.stack(w_rows)
+
+
+def panel_predict_mvn(models, forecast_dates, *, include_noise: bool = True,
+                      mesh=None) -> list[MvNormalMixture]:
+    """``predict_mvn`` for a whole panel in one batched device program.
+
+    Equivalent per series to ``predict_mvn(models[s], forecast_dates)``
+    (``AutoGP.predict_mvn`` semantics, ``src/forecasting.jl:46``) but
+    assembled as a single S x P row-flattened predictive build; with
+    ``mesh``, rows shard across chips.  Returns one mixture per series.
+    """
+    models = list(models)
+    dates = list(forecast_dates)
+    mu, F, w = _panel_predict_rows(
+        models, dates, include_noise=include_noise, mesh=mesh)
+    out = []
+    for s in range(len(models)):
+        cov = np.einsum("pij,pkj->pik", F[s], F[s])
+        out.append(MvNormalMixture(w[s], mu[s], cov))
+    return out
+
+
+def forecast_panel(models, forecast_dates, forecast_draws: int, *,
+                   inv_transformations=None, include_noise: bool = True,
+                   mesh=None, seed: int | None = None) -> list[np.ndarray]:
+    """Sample forecasts for every series of a fitted panel at once.
+
+    The panel analog of :func:`..forecasting.forecast` (no per-draw HMC):
+    one batched predictive build + PSD factorization for all S x P rows,
+    then per-series mixture draws.  ``inv_transformations``: one callable
+    shared by all series, or a sequence of per-series callables (the usual
+    case — each jurisdiction has its own Box-Cox lambda / offset).  Returns
+    a list of ``(n_dates, forecast_draws)`` arrays, so downstream scoring
+    (`crps_matrix`, `wis_matrix`, `quantile_submission`) applies per series
+    unchanged.
+    """
+    models = list(models)
+    S = len(models)
+    dates = list(forecast_dates)
+    nq = len(dates)
+    n_draws = int(forecast_draws)
+    if inv_transformations is None:
+        invs = [lambda y: y] * S
+    elif callable(inv_transformations):
+        invs = [inv_transformations] * S
+    else:
+        invs = list(inv_transformations)
+        assert len(invs) == S, "need one inverse transformation per series"
+
+    mu, F, w = _panel_predict_rows(
+        models, dates, include_noise=include_noise, mesh=mesh)
+    rng = np.random.default_rng(seed)
+    out = []
+    for s in range(S):
+        comps = rng.choice(w.shape[1], size=n_draws, p=w[s])
+        eps = rng.standard_normal((n_draws, nq))
+        # (n_draws, nq): mu[comp] + F[comp] @ eps  per draw
+        draws = mu[s][comps] + np.einsum("dij,dj->di", F[s][comps], eps)
+        out.append(apply_elementwise(invs[s], draws.T))
+    return out
