@@ -3,7 +3,8 @@
 Implements the engine's structure rejuvenation (``AutoGP.mcmc_structure!``,
 reference call sites ``/root/reference/src/forecasting.jl:146`` and inside
 ``fit_smc!``, ``src/make_and_fit_model.jl:91``) with the host/device split
-designed in SURVEY.md §7: subtree-regeneration proposals are irregular and run
+designed in SURVEY.md §7: structure proposals (random-scan over subtree
+regeneration / leaf-type swap / birth-death) are irregular and run
 host-side (numpy) for all particles of a batch at once; a single jitted device
 call then evaluates every proposal's masked LML, applies the MH accept
 (subtree-from-prior proposals make the acceptance logit
@@ -22,7 +23,8 @@ import numpy as np
 
 from ..models.config import GPConfig
 from ..models.structures import (
-    prior_arrays, propose_leaf_swap, propose_subtree_replace,
+    prior_arrays, propose_birth_death, propose_leaf_swap,
+    propose_subtree_replace,
 )
 from ..ops.lml import DEFAULT_JITTER, gp_lml_batched
 from .hmc import _hmc_batched
@@ -42,11 +44,19 @@ def propose_batch(rng: np.random.Generator, node_types: np.ndarray,
     new_types = np.empty_like(node_types)
     new_params = np.empty_like(params)
     log_h = np.empty(P, dtype=np.float32)
+    from ..models.structures_device import MOVE_PROBS
+
     for i in range(P):
-        # random scan over the two involutive move types (leaf-type swap /
-        # subtree regeneration), matching the device path
-        move = propose_leaf_swap if rng.random() < 0.5 else \
-            propose_subtree_replace
+        # random scan over the three involutive move types (subtree
+        # regeneration / leaf-type swap / birth-death), matching the device
+        # path's mixture weights
+        r = rng.random()
+        if r < MOVE_PROBS[0]:
+            move = propose_subtree_replace
+        elif r < MOVE_PROBS[0] + MOVE_PROBS[1]:
+            move = propose_leaf_swap
+        else:
+            move = propose_birth_death
         t2, p2, lh = move(rng, node_types[i], params[i], config)
         new_types[i] = t2
         new_params[i] = p2

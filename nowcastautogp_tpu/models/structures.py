@@ -33,6 +33,7 @@ __all__ = [
     "sample_structure", "sample_params_for_subtree", "sample_particle",
     "log_prior_structure", "count_nodes", "param_slot_kinds", "prior_arrays",
     "subtree_slots", "propose_subtree_replace", "propose_leaf_swap",
+    "propose_birth_death", "log_prior_params",
     "structure_to_str",
 ]
 
@@ -253,6 +254,166 @@ def propose_leaf_swap(
     new_params[v] = 0.0
     sample_params_for_subtree(rng, new_types, config, [v], new_params)
     return new_types, new_params, 0.0
+
+
+def log_prior_params(
+    node_types: np.ndarray, params: np.ndarray, config: GPConfig,
+    slots,
+) -> float:
+    """Log prior density of the unconstrained params on the given slots."""
+    lp = 0.0
+    for i in slots:
+        kinds = _SLOT_KINDS[int(node_types[i])]
+        for s, kind in enumerate(kinds):
+            if kind is None:
+                continue
+            pr = config.prior[kind]
+            z = (float(params[i, s]) - pr["mu"]) / pr["sigma"]
+            lp += -0.5 * z * z - np.log(pr["sigma"]) - 0.5 * np.log(2 * np.pi)
+    return float(lp)
+
+
+def _binary_dist(config: GPConfig) -> np.ndarray:
+    """Proposal distribution over internal ops: the renormalized binary part
+    of the PCFG node distribution (zero CP mass when changepoints=False)."""
+    dist = _node_dist(config)
+    b = np.asarray(dist[1:], dtype=np.float64)
+    return b / b.sum()
+
+
+def _birth_feasible(node_types: np.ndarray) -> list[int]:
+    """Occupied slots whose subtree can be pushed one level deeper (no
+    occupied node on the bottom heap level)."""
+    levels = _levels(node_types.shape[0])
+    return [
+        int(v) for v in np.flatnonzero(node_types != EMPTY)
+        if all(_depth_of(j) < levels - 1 for j in subtree_slots(node_types, v))
+    ]
+
+
+def _down_index_map(slots: list[int], v: int, target_v: int) -> dict[int, int]:
+    """Heap-index map relocating the subtree at ``v`` so its root lands at
+    ``target_v`` (one level down for birth, one level up for death): children
+    follow their parent's new position."""
+    new_idx = {v: target_v}
+    for j in sorted(slots):
+        if j == v:
+            continue
+        parent = (j - 1) // 2
+        new_idx[j] = 2 * new_idx[parent] + 1 + (j - 2 * parent - 1)
+    return new_idx
+
+
+def propose_birth_death(
+    rng: np.random.Generator, node_types: np.ndarray, params: np.ndarray,
+    config: GPConfig,
+):
+    """Reversible birth/death dimension move (third involutive move type).
+
+    *Birth*: pick a feasible node ``v`` (its subtree must clear the bottom
+    heap level), insert a new internal op above it — the old subtree is
+    relocated intact (parameters preserved) to one side, the other side is a
+    fresh prior-sampled subtree.  *Death*: pick an internal node, promote one
+    child's subtree into its place and delete the other.  The pair is one MH
+    kernel (50/50 birth-vs-death coin); an infeasible submove returns the
+    state unchanged with ``log_hastings = -inf`` (forced reject).
+
+    Unlike subtree regeneration, birth *preserves the learned parameters* of
+    the existing kernel while growing structure around it — the move class
+    that makes "wrap the current kernel in ``+ new``" reachable without
+    re-discovering the kernel from the prior (the engine's ``mcmc_structure!``
+    mixes several involutive move types; SURVEY.md §2.3).
+
+    The Hastings correction is accounted numerically — full structure +
+    parameter prior log-densities of both trees plus the exact proposal
+    densities — rather than relying on symbolic cancellation, because the
+    PCFG's bottom-level leaf forcing makes relocated-subtree prior terms
+    depth-dependent.
+
+    Returns ``(new_types, new_params, log_hastings)``.
+    """
+    n = node_types.shape[0]
+    b_dist = _binary_dist(config)
+    reject = (node_types, params, float(-np.inf))
+
+    def _lp_full(t, p):
+        return log_prior_structure(t, config) + log_prior_params(
+            t, p, config, subtree_slots(t, 0))
+
+    if rng.random() < 0.5:  # ---- birth
+        feas = _birth_feasible(node_types)
+        if not feas:
+            return reject
+        v = int(rng.choice(feas))
+        oi = int(rng.choice(3, p=b_dist))
+        o = BINARY_TYPES[oi]
+        side = int(rng.integers(2))
+        slots = subtree_slots(node_types, v)
+        new_types = node_types.copy()
+        new_params = params.copy()
+        for j in slots:
+            new_types[j] = EMPTY
+            new_params[j] = 0.0
+        new_idx = _down_index_map(slots, v, 2 * v + 1 + side)
+        for j in slots:
+            new_types[new_idx[j]] = node_types[j]
+            new_params[new_idx[j]] = params[j]
+        new_types[v] = o
+        sample_params_for_subtree(rng, new_types, config, [v], new_params)
+        sib = 2 * v + 1 + (1 - side)
+        sample_structure(rng, config, max_nodes=n, root=sib, out=new_types)
+        sample_params_for_subtree(
+            rng, new_types, config, subtree_slots(new_types, sib), new_params)
+
+        n_internal2 = sum(
+            1 for j in subtree_slots(new_types, 0)
+            if new_types[j] in BINARY_TYPES)
+        log_q_fwd = (
+            -np.log(len(feas)) + np.log(b_dist[oi]) - np.log(2.0)
+            + log_prior_structure(new_types, config, root=sib)
+            + log_prior_params(
+                new_types, new_params, config, subtree_slots(new_types, sib))
+            + log_prior_params(new_types, new_params, config, [v])
+        )
+        log_q_rev = -np.log(n_internal2) - np.log(2.0)
+        log_h = (_lp_full(new_types, new_params) - _lp_full(node_types, params)
+                 + log_q_rev - log_q_fwd)
+        return new_types, new_params, float(log_h)
+
+    # ---- death
+    internal = [
+        int(u) for u in np.flatnonzero(node_types != EMPTY)
+        if node_types[u] in BINARY_TYPES
+    ]
+    if not internal:
+        return reject
+    u = int(rng.choice(internal))
+    c = int(rng.integers(2))
+    child, other = 2 * u + 1 + c, 2 * u + 2 - c
+    promoted = subtree_slots(node_types, child)
+    deleted = subtree_slots(node_types, other)
+    old_oi = BINARY_TYPES.index(int(node_types[u]))
+    new_types = node_types.copy()
+    new_params = params.copy()
+    for j in subtree_slots(node_types, u):
+        new_types[j] = EMPTY
+        new_params[j] = 0.0
+    new_idx = _down_index_map(promoted, child, u)
+    for j in promoted:
+        new_types[new_idx[j]] = node_types[j]
+        new_params[new_idx[j]] = params[j]
+
+    feas2 = _birth_feasible(new_types)
+    log_q_fwd = -np.log(len(internal)) - np.log(2.0)
+    log_q_rev = (
+        -np.log(len(feas2)) + np.log(b_dist[old_oi]) - np.log(2.0)
+        + log_prior_structure(node_types, config, root=other)
+        + log_prior_params(node_types, params, config, deleted)
+        + log_prior_params(node_types, params, config, [u])
+    )
+    log_h = (_lp_full(new_types, new_params) - _lp_full(node_types, params)
+             + log_q_rev - log_q_fwd)
+    return new_types, new_params, float(log_h)
 
 
 def structure_to_str(node_types: np.ndarray, root: int = 0) -> str:

@@ -22,6 +22,7 @@ from nowcastautogp_tpu.models.structures import (
 )
 from nowcastautogp_tpu.models.structures_device import (
     ancestor_table, config_arrays, device_prior_arrays, device_propose,
+    device_propose_birth_death, device_propose_mixed,
 )
 
 
@@ -87,6 +88,83 @@ class TestDeviceProposals:
             key, sub = jax.random.split(key)
             types, params, _ = prop(types, params, sub, ca, anc)
             assert not np.any(np.asarray(types) == CP)
+            assert _valid_tree(np.asarray(types))
+
+    def test_birth_death_chain_valid_trees(self):
+        cfg = GPConfig(max_depth=4)
+        ca = config_arrays(cfg)
+        anc = jnp.asarray(ancestor_table(cfg.max_nodes))
+        rng = np.random.default_rng(6)
+        t, p, _ = sample_particle(rng, cfg)
+        types, params = jnp.asarray(t), jnp.asarray(p)
+        prop = jax.jit(device_propose_birth_death)
+        key = jax.random.PRNGKey(2)
+        accepted = 0
+        for _ in range(60):
+            key, k1, k2 = jax.random.split(key, 3)
+            t2, p2, lh = prop(types, params, k1, ca, anc)
+            assert _valid_tree(np.asarray(t2)), np.asarray(t2)
+            if float(jnp.log(jax.random.uniform(k2))) < float(lh):
+                types, params = t2, p2
+                accepted += 1
+        assert accepted > 5  # the move must actually mix
+
+    def test_birth_death_prior_invariance_device(self):
+        """Constant-likelihood chain preserves the PCFG prior (device path;
+        same statistical check as the host test in test_kernels.py)."""
+        cfg = GPConfig(max_depth=4)
+        ca = config_arrays(cfg)
+        anc = jnp.asarray(ancestor_table(cfg.max_nodes))
+        rng = np.random.default_rng(21)
+        P, M = 200, 60
+        ts, ps = [], []
+        for _ in range(P):
+            t, p, _ = sample_particle(rng, cfg)
+            ts.append(t)
+            ps.append(p)
+        types = jnp.asarray(np.stack(ts))
+        params = jnp.asarray(np.stack(ps))
+        prop_v = jax.vmap(
+            device_propose_birth_death, in_axes=(0, 0, 0, None, None))
+
+        @jax.jit
+        def chain(types, params, key):
+            def step(carry, k):
+                ty, pa = carry
+                k1, k2 = jax.random.split(k)
+                t2, p2, lh = prop_v(
+                    ty, pa, jax.random.split(k1, P), ca, anc)
+                acc = jnp.log(jax.random.uniform(k2, (P,))) < lh
+                return (jnp.where(acc[:, None], t2, ty),
+                        jnp.where(acc[:, None, None], p2, pa)), None
+            (types, params), _ = jax.lax.scan(
+                step, (types, params), jax.random.split(key, M))
+            return types
+
+        tf = np.asarray(chain(types, params, jax.random.PRNGKey(5)))
+        from nowcastautogp_tpu.models.structures import count_nodes
+        for i in range(P):
+            assert _valid_tree(tf[i])
+        counts = [count_nodes(tf[i]) for i in range(P)]
+        ref = [count_nodes(sample_particle(rng, cfg)[0])
+               for _ in range(4000)]
+        se = np.hypot(np.std(counts) / np.sqrt(P),
+                      np.std(ref) / np.sqrt(len(ref)))
+        z = (np.mean(counts) - np.mean(ref)) / se
+        assert abs(z) < 4.0, (np.mean(counts), np.mean(ref), z)
+
+    def test_mixed_three_way_valid(self):
+        cfg = GPConfig(max_depth=4)
+        ca = config_arrays(cfg)
+        anc = jnp.asarray(ancestor_table(cfg.max_nodes))
+        rng = np.random.default_rng(8)
+        t, p, _ = sample_particle(rng, cfg)
+        types, params = jnp.asarray(t), jnp.asarray(p)
+        prop = jax.jit(device_propose_mixed)
+        key = jax.random.PRNGKey(9)
+        for _ in range(50):
+            key, sub = jax.random.split(key)
+            types, params, lh = prop(types, params, sub, ca, anc)
             assert _valid_tree(np.asarray(types))
 
     def test_device_prior_arrays_match_host(self):

@@ -13,9 +13,10 @@ import jax.numpy as jnp
 
 from nowcastautogp_tpu.models.config import GPConfig
 from nowcastautogp_tpu.models.structures import (
-    CONST, CP, EMPTY, GE, LINEAR, PERIODIC, PLUS, SE, TIMES,
-    count_nodes, log_prior_structure, prior_arrays, propose_subtree_replace,
-    sample_particle, structure_to_str, subtree_slots,
+    BINARY_TYPES, CONST, CP, EMPTY, GE, LINEAR, PERIODIC, PLUS, SE, TIMES,
+    count_nodes, log_prior_structure, prior_arrays, propose_birth_death,
+    propose_subtree_replace, sample_params_for_subtree, sample_particle,
+    structure_to_str, subtree_slots,
 )
 from nowcastautogp_tpu.ops.kernels import eval_cov, eval_cov_batch
 from nowcastautogp_tpu.ops.lml import gp_lml, gp_predict
@@ -251,3 +252,92 @@ class TestStructures:
             assert mu[0, i, 1] == pytest.approx(cfg.prior["period"]["mu"])
         for i in np.flatnonzero(t == EMPTY):
             assert np.all(active[0, i] == 0.0)
+
+
+def _valid_heap(t: np.ndarray) -> bool:
+    n = t.shape[0]
+    if t[0] == EMPTY:
+        return False
+    for i in range(n):
+        li, ri = 2 * i + 1, 2 * i + 2
+        if t[i] in (PLUS, TIMES, CP):
+            if li >= n or t[li] == EMPTY or t[ri] == EMPTY:
+                return False
+        elif li < n:
+            if t[li] != EMPTY or t[ri] != EMPTY:
+                return False
+    return True
+
+
+class TestBirthDeathMove:
+    """The third involutive move: reversible insert/delete of an internal
+    node with intact relocation of the existing subtree (parameters
+    preserved) — ``structures.propose_birth_death``."""
+
+    def test_chain_produces_valid_trees(self):
+        cfg = GPConfig(max_depth=4)
+        rng = np.random.default_rng(5)
+        t, p, _ = sample_particle(rng, cfg)
+        for _ in range(200):
+            t2, p2, lh = propose_birth_death(rng, t, p, cfg)
+            assert np.isfinite(lh) or lh == -np.inf
+            assert _valid_heap(t2)
+            if np.log(rng.random()) < lh:
+                t, p = t2, p2
+
+    def test_birth_preserves_every_existing_node(self):
+        """A birth proposal relocates the chosen subtree intact: every
+        (type, params) pair of the original tree survives in the proposal."""
+        cfg = GPConfig(max_depth=4)
+        rng = np.random.default_rng(7)
+        seen_birth = 0
+        t, p, _ = sample_particle(rng, cfg)
+        for _ in range(300):
+            t2, p2, _ = propose_birth_death(rng, t, p, cfg)
+            if count_nodes(t2) > count_nodes(t):  # birth proposal
+                seen_birth += 1
+                old = sorted(
+                    (int(t[i]), tuple(np.round(p[i], 6)))
+                    for i in np.flatnonzero(t != EMPTY))
+                new = sorted(
+                    (int(t2[i]), tuple(np.round(p2[i], 6)))
+                    for i in np.flatnonzero(t2 != EMPTY))
+                # old multiset is a sub-multiset of the new one
+                it = iter(new)
+                assert all(any(x == y for y in it) for x in old), (old, new)
+        assert seen_birth > 30
+
+    def test_single_leaf_death_is_forced_reject(self):
+        cfg = GPConfig(max_depth=3)
+        rng = np.random.default_rng(3)
+        t = np.zeros(cfg.max_nodes, np.int32)
+        t[0] = PERIODIC
+        p = sample_params_for_subtree(rng, t, cfg, [0])
+        rejects = sum(
+            propose_birth_death(rng, t, p, cfg)[2] == -np.inf
+            for _ in range(200))
+        # the death coin (~half of draws) must force-reject on a leaf-only
+        # tree; births stay feasible
+        assert 60 <= rejects <= 140
+
+    def test_prior_invariance(self):
+        """With a constant likelihood the MH chain driven by the move's own
+        Hastings correction must preserve the PCFG prior — the sharpest
+        whole-move correctness check (a sign or bookkeeping error in the
+        Hastings terms drifts the node-count distribution immediately)."""
+        cfg = GPConfig(max_depth=4)
+        rng = np.random.default_rng(11)
+        P, M = 150, 50
+        counts = []
+        for _ in range(P):
+            t, p, _ = sample_particle(rng, cfg)
+            for _ in range(M):
+                t2, p2, lh = propose_birth_death(rng, t, p, cfg)
+                if np.log(rng.random()) < lh:
+                    t, p = t2, p2
+            counts.append(count_nodes(t))
+        ref = [count_nodes(sample_particle(rng, cfg)[0]) for _ in range(4000)]
+        se = np.hypot(np.std(counts) / np.sqrt(P),
+                      np.std(ref) / np.sqrt(len(ref)))
+        z = (np.mean(counts) - np.mean(ref)) / se
+        assert abs(z) < 4.0, (np.mean(counts), np.mean(ref), z)
