@@ -26,7 +26,7 @@ from ..models.structures_device import (
     ConfigArrays, device_prior_arrays, device_propose_mixed,
 )
 from ..ops.lml import DEFAULT_JITTER, gp_lml_batched, gp_lml_impl
-from .hmc import _hmc_batched
+from .hmc import _hmc_batched, make_batched_potential
 
 __all__ = ["rejuvenation_sweep", "smc_fit_device"]
 
@@ -42,17 +42,40 @@ def _sweep_batched(
     Explicitly batched (vs the round-1 ``vmap(_sweep_single)``) so the LML
     accept tests and HMC trajectories route through the batched Pallas
     Cholesky core; proposals stay vmapped (cheap elementwise + RNG).
+
+    When ``n_hmc > 0`` the proposal is evaluated with ``value_and_grad`` of
+    the HMC potential instead of a forward-only LML: the structure-accept
+    test still uses the LML (aux output), and the gradient doubles as the
+    subsequent HMC's initial gradient for accepted particles while rejected
+    particles reuse the gradient carried from the previous HMC's final state
+    — eliminating every per-move forward-only LML evaluation (one batched
+    ``pot_and_grad`` per sweep replaces ``n_mcmc`` of them).  Values are
+    unchanged: each carried quantity is the same function evaluated at the
+    same point as the recomputation it replaces.
     """
     P = params.shape[0]
     propose_v = jax.vmap(device_propose_mixed, in_axes=(0, 0, 0, None, None))
     priors_v = jax.vmap(device_prior_arrays, in_axes=(0, None))
 
+    def pot_and_grad_at(types_, p_, ln_):
+        mu, sg, act = priors_v(types_, cfg)
+        potential = make_batched_potential(
+            types_, mu, sg, act, x, y, mask, jitter,
+            noise_mu, noise_sigma, infer_noise,
+        )
+        (g_p, g_n), (U, lml_) = jax.grad(
+            potential, argnums=(0, 1), has_aux=True)(p_, ln_)
+        return (U, lml_, g_p, g_n), (mu, sg, act)
+
     def move(carry, key_m):
-        types, params, log_noise, lml, scale = carry
+        types, params, log_noise, lml, scale, U, g_p, g_n = carry
         k_prop, k_acc, k_hmc = jax.random.split(key_m, 3)
         prop_keys = jax.random.split(k_prop, P)
         t2, p2, log_h = propose_v(types, params, prop_keys, cfg, anc)
-        lml2 = gp_lml_batched(t2, p2, log_noise, x, y, mask, jitter)
+        if n_hmc > 0:
+            (U2, lml2, g2_p, g2_n), _ = pot_and_grad_at(t2, p2, log_noise)
+        else:
+            lml2 = gp_lml_batched(t2, p2, log_noise, x, y, mask, jitter)
         accept = jnp.log(jax.random.uniform(k_acc, (P,))) < (
             lml2 - lml + log_h
         )
@@ -60,17 +83,33 @@ def _sweep_batched(
         params = jnp.where(accept[:, None, None], p2, params)
         lml = jnp.where(accept, lml2, lml)
         if n_hmc > 0:
+            U = jnp.where(accept, U2, U)
+            g_p = jnp.where(accept[:, None, None], g2_p, g_p)
+            g_n = jnp.where(accept, g2_n, g_n)
             mu, sg, act = priors_v(types, cfg)
-            params, log_noise, lml, _, scale = _hmc_batched(
+            params, log_noise, lml, _, scale, (U, g_p, g_n) = _hmc_batched(
                 types, params, log_noise, mu, sg, act, x, y, mask, k_hmc,
                 scale, n_hmc, n_leapfrog, step_size, step_jitter,
                 jitter, noise_mu, noise_sigma, infer_noise,
+                init=(U, lml, g_p, g_n),
             )
-        return (types, params, log_noise, lml, scale), accept
+        return (types, params, log_noise, lml, scale, U, g_p, g_n), accept
 
+    if n_hmc > 0:
+        # one batched evaluation at the current state seeds the carried
+        # potential/gradients for the whole sweep
+        (U0, lml0, g_p0, g_n0), _ = pot_and_grad_at(types, params, log_noise)
+        lml = lml0
+    else:
+        U0 = jnp.zeros(P, params.dtype)
+        g_p0 = jnp.zeros_like(params)
+        g_n0 = jnp.zeros(P, params.dtype)
     keys = jax.random.split(key, n_mcmc)
-    (types, params, log_noise, lml, eps_scale), accepts = jax.lax.scan(
-        move, (types, params, log_noise, lml, eps_scale), keys
+    (types, params, log_noise, lml, eps_scale, _, _, _), accepts = (
+        jax.lax.scan(
+            move,
+            (types, params, log_noise, lml, eps_scale, U0, g_p0, g_n0), keys
+        )
     )
     return (types, params, log_noise, lml,
             jnp.mean(accepts.astype(jnp.float32)), eps_scale)

@@ -128,23 +128,18 @@ def _hmc_single(
     return p_f, ln_f, lml_f, jnp.mean(oks.astype(jnp.float32)), scale_f
 
 
-def _hmc_batched(
-    node_types, params, log_noise, prior_mu, prior_sigma, prior_active,
-    x, y, mask, key, eps_scale, n_steps, n_leapfrog, step_size, step_jitter,
-    jitter, noise_mu, noise_sigma, infer_noise, lml_backend=None,
+def make_batched_potential(
+    node_types, prior_mu, prior_sigma, prior_active,
+    x, y, mask, jitter, noise_mu, noise_sigma, infer_noise, lml_backend=None,
 ):
-    """Explicitly-batched HMC: all particle arrays carry the leading P axis.
+    """Batched HMC potential ``(params, log_noise) -> (sum U, (U, lml))``.
 
-    Mathematically identical to ``vmap(_hmc_single)`` (per-particle LMLs,
-    momenta, accepts, and step-size adaptation are independent — the summed
-    potential decouples into per-particle gradients), but written batched so
-    the LML core sees the full particle axis and can dispatch to the Pallas
-    blocked-Cholesky kernel (``ops/pallas_chol.py``) instead of per-particle
-    vmapped programs.
+    Shared between ``_hmc_batched`` and the device sweep's structure-proposal
+    evaluation (``inference/device_smc.py``), so a gradient computed at the
+    proposal is exactly the initial gradient the subsequent HMC needs — the
+    summed potential decouples into per-particle gradients.
     """
     from ..ops.lml import gp_lml_batched
-
-    P = params.shape[0]
 
     def potential(p, ln):
         lml = gp_lml_batched(node_types, p, ln, x, y, mask, jitter,
@@ -158,6 +153,37 @@ def _hmc_batched(
         U = -(lml + lp)
         return U.sum(), (U, lml)
 
+    return potential
+
+
+def _hmc_batched(
+    node_types, params, log_noise, prior_mu, prior_sigma, prior_active,
+    x, y, mask, key, eps_scale, n_steps, n_leapfrog, step_size, step_jitter,
+    jitter, noise_mu, noise_sigma, infer_noise, lml_backend=None,
+    init=None,
+):
+    """Explicitly-batched HMC: all particle arrays carry the leading P axis.
+
+    Mathematically identical to ``vmap(_hmc_single)`` (per-particle LMLs,
+    momenta, accepts, and step-size adaptation are independent — the summed
+    potential decouples into per-particle gradients), but written batched so
+    the LML core sees the full particle axis and can dispatch to the Pallas
+    blocked-Cholesky kernel (``ops/pallas_chol.py``) instead of per-particle
+    vmapped programs.
+
+    ``init``, when given, is ``(U0, lml0, g_p0, g_n0)`` — the potential, LML,
+    and gradients already evaluated at ``(params, log_noise)`` — and the
+    initial ``pot_and_grad`` call is skipped (the device sweep carries these
+    across moves).  Returns ``(params, log_noise, lml, accept_rate,
+    eps_scale, (U, g_p, g_n))`` with the final state's cached potential and
+    gradients, valid for the same carrying.
+    """
+    P = params.shape[0]
+
+    potential = make_batched_potential(
+        node_types, prior_mu, prior_sigma, prior_active,
+        x, y, mask, jitter, noise_mu, noise_sigma, infer_noise, lml_backend,
+    )
     pot_and_grad = jax.grad(potential, argnums=(0, 1), has_aux=True)
 
     # As in ``_hmc_single``: value + gradient at the current point are carried
@@ -212,14 +238,18 @@ def _hmc_batched(
         )
         return (p, ln, U0, lml, g_p, g_n, scale), ok
 
-    (g_p0, g_n0), (U_init, lml_init) = pot_and_grad(params, log_noise)
+    if init is None:
+        (g_p0, g_n0), (U_init, lml_init) = pot_and_grad(params, log_noise)
+    else:
+        U_init, lml_init, g_p0, g_n0 = init
     keys = jax.random.split(key, n_steps)
-    (p_f, ln_f, _, lml_f, _, _, scale_f), oks = jax.lax.scan(
+    (p_f, ln_f, U_f, lml_f, g_p_f, g_n_f, scale_f), oks = jax.lax.scan(
         trajectory,
         (params, log_noise, U_init, lml_init, g_p0, g_n0, eps_scale), keys
     )
     return (p_f, ln_f, lml_f,
-            jnp.mean(oks.astype(jnp.float32), axis=0), scale_f)
+            jnp.mean(oks.astype(jnp.float32), axis=0), scale_f,
+            (U_f, g_p_f, g_n_f))
 
 
 @partial(
@@ -241,7 +271,7 @@ def run_hmc(
     P = params.shape[0]
     if eps_scale is None:
         eps_scale = jnp.ones(P, params.dtype)
-    p, ln, lml, rate, scale = _hmc_batched(
+    p, ln, lml, rate, scale, _ = _hmc_batched(
         node_types, params, log_noise, prior_mu, prior_sigma, prior_active,
         x, y, mask, key, eps_scale, n_steps, n_leapfrog, step_size,
         step_jitter, jitter, noise_mu, noise_sigma, infer_noise,

@@ -149,7 +149,7 @@ def schedule_segments(schedule, cap_full):
 
     segments: list[tuple[int, list[int]]] = []
     for n_k in schedule:
-        cap_k = min(cap_full, max(64, int(np.ceil(n_k / _PAD)) * _PAD))
+        cap_k = min(cap_full, max(_PAD, int(np.ceil(n_k / _PAD)) * _PAD))
         if segments and segments[-1][0] == cap_k:
             segments[-1][1].append(int(n_k))
         else:
@@ -181,13 +181,7 @@ def _fit_device(model, schedule, n_mcmc, n_hmc, hmc_cfg,
     noise_mu, noise_sigma, infer = model.noise_prior
 
     # group consecutive schedule steps by the capacity they need
-    segments: list[tuple[int, list[int]]] = []
-    for n_k in schedule:
-        cap_k = min(cap_full, max(64, int(np.ceil(n_k / _PAD)) * _PAD))
-        if segments and segments[-1][0] == cap_k:
-            segments[-1][1].append(int(n_k))
-        else:
-            segments.append((cap_k, [int(n_k)]))
+    segments = schedule_segments(schedule, cap_full)
 
     t0 = time.time()
     step_base = 0

@@ -101,7 +101,7 @@ def structure_move_device(
     lml = jnp.where(accept, lml_prop, lml_old)
 
     if n_hmc > 0:
-        params, log_noise, lml, acc_rate, eps_scale = _hmc_batched(
+        params, log_noise, lml, acc_rate, eps_scale, _ = _hmc_batched(
             types, params, log_noise, mu, sigma, active, x, y, mask, k_hmc,
             eps_scale, n_hmc, n_leapfrog, step_size, step_jitter,
             jitter, noise_mu, noise_sigma, infer_noise,

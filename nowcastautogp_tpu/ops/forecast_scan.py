@@ -47,7 +47,7 @@ def forecast_hmc_scan(
     def draw(carry, key_d):
         params, log_noise, scale = carry
         k_hmc, k_comp, k_eps = jax.random.split(key_d, 3)
-        params, log_noise, lml, _, scale = _hmc_batched(
+        params, log_noise, lml, _, scale, _ = _hmc_batched(
             types, params, log_noise, prior_mu, prior_sigma, prior_active,
             x, y, mask, k_hmc, scale, n_hmc, n_leapfrog, step_size,
             step_jitter, jitter, noise_mu, noise_sigma, infer_noise,
@@ -99,7 +99,7 @@ def nowcast_forecast_hmc_scan(
     def draw(carry, key_d):
         params, log_noise, scale = carry
         k_hmc, k_comp, k_eps = jax.random.split(key_d, 3)
-        params, log_noise, lml, _, scale = _hmc_batched(
+        params, log_noise, lml, _, scale, _ = _hmc_batched(
             types, params, log_noise, prior_mu, prior_sigma, prior_active,
             x, y, mask, k_hmc, scale, n_hmc, n_leapfrog, step_size,
             step_jitter, jitter, noise_mu, noise_sigma, infer_noise,

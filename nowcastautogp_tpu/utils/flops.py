@@ -79,20 +79,26 @@ def fit_cost_analysis(*, P, config, schedule, cap_full, n_mcmc, n_hmc,
     Instead this costs one batched-LML forward and one gradient program per
     capacity segment and multiplies by the engine's exact call counts:
 
-    per schedule step: 1 reweight forward; per structure move: 1 accept
-    forward + [1 initial + n_hmc x n_leapfrog] gradient evaluations
-    (``inference/hmc.py``: the potential's value and gradient are carried
-    across trajectories, so each leapfrog step is the only evaluation site).
+    per schedule step with HMC: 1 reweight forward + 1 sweep-seeding
+    gradient + per structure move [1 proposal + n_hmc x n_leapfrog] gradient
+    evaluations (``inference/hmc.py`` carries value+gradient across
+    trajectories; ``inference/device_smc.py`` evaluates proposals with
+    value_and_grad and carries potential/gradients across moves, so no
+    per-move forward-only LML remains).  Without HMC: 1 reweight forward +
+    n_mcmc forward-only proposal evaluations per step.
     """
     from ..inference.smc import schedule_segments
 
-    grads_per_move = (1 + n_hmc * n_leapfrog) if n_hmc > 0 else 0
     total_flops, total_bytes = 0.0, 0.0
     for cap_seg, steps in schedule_segments(schedule, cap_full):
         f_fwd, f_grad, b_fwd, b_grad = _lml_program_costs(P, cap_seg, config)
         n_steps = len(steps)
-        fwd_calls = n_steps * (1 + n_mcmc)
-        grad_calls = n_steps * n_mcmc * grads_per_move
+        if n_hmc > 0:
+            fwd_calls = n_steps
+            grad_calls = n_steps * (1 + n_mcmc * (1 + n_hmc * n_leapfrog))
+        else:
+            fwd_calls = n_steps * (1 + n_mcmc)
+            grad_calls = 0
         total_flops += fwd_calls * f_fwd + grad_calls * f_grad
         total_bytes += fwd_calls * b_fwd + grad_calls * b_grad
     return total_flops, total_bytes

@@ -95,13 +95,13 @@ class TestFlopAccounting:
     def test_schedule_segments_bucketing(self):
         from nowcastautogp_tpu.inference.smc import schedule_segments
 
-        # 150-week series at proportion 0.1 with the 32-granule bucketing
-        # (64 floor): caps bucket at 64/96/128/160
+        # 150-week series at proportion 0.1 with the 32-granule bucketing:
+        # caps bucket at 32/64/96/128/160
         from nowcastautogp_tpu.inference.schedule import linear_schedule
 
         sched = linear_schedule(150, 0.1)
         segs = schedule_segments(sched, 160)
-        assert [c for c, _ in segs] == [64, 96, 128, 160]
+        assert [c for c, _ in segs] == [32, 64, 96, 128, 160]
         assert sum(len(s) for _, s in segs) == len(sched)
         # every step fits its segment's capacity and exceeds the previous cap
         for cap, steps in segs:

@@ -338,7 +338,7 @@ class TestHMCCachedState:
                     step_jitter=0.0, jitter=1e-5, noise_mu=-2.0,
                     noise_sigma=1.0, infer_noise=1.0)
 
-        pb, lnb, lmlb, rateb, scaleb = _hmc_batched(
+        pb, lnb, lmlb, rateb, scaleb, _ = _hmc_batched(
             types, params, ln, mu, sg, act, x, y, mask, key, scale,
             args["n_steps"], args["n_leapfrog"], args["step_size"],
             args["step_jitter"], args["jitter"], args["noise_mu"],
@@ -350,3 +350,85 @@ class TestHMCCachedState:
         lml_fresh = gp_lml_batch(types, pb, lnb, x, y, mask)
         np.testing.assert_allclose(
             np.asarray(lmlb), np.asarray(lml_fresh), rtol=2e-4, atol=2e-3)
+
+
+class TestCarriedGradSweep:
+    """The device sweep evaluates structure proposals with value_and_grad
+    and carries potential/gradients across moves (inference/device_smc.py).
+    Every carried quantity is the same function at the same point as the
+    recomputation it replaces, so the sweep must match a reference
+    implementation that recomputes the initial HMC gradient per move."""
+
+    def test_sweep_matches_per_move_recompute(self):
+        from nowcastautogp_tpu.inference.device_smc import rejuvenation_sweep
+        from nowcastautogp_tpu.inference.hmc import _hmc_batched
+        from nowcastautogp_tpu.models.structures_device import (
+            device_prior_arrays,
+        )
+        from nowcastautogp_tpu.ops.lml import gp_lml_batch
+
+        cfg = GPConfig(max_depth=3)
+        ca = config_arrays(cfg)
+        anc = jnp.asarray(ancestor_table(cfg.max_nodes))
+        P, cap = 4, 32
+        parts = [sample_particle(np.random.default_rng(i), cfg)
+                 for i in range(P)]
+        types = jnp.asarray(np.stack([p[0] for p in parts]))
+        params = jnp.asarray(np.stack([p[1] for p in parts])
+                             .astype(np.float32))
+        ln = jnp.asarray(np.full(P, -2.0, np.float32))
+        x = jnp.asarray(np.broadcast_to(
+            np.linspace(0, 1, cap, dtype=np.float32), (P, cap)))
+        y = jnp.asarray(np.broadcast_to(
+            np.sin(5 * np.linspace(0, 1, cap)).astype(np.float32), (P, cap)))
+        mask = jnp.asarray(np.broadcast_to(
+            (np.arange(cap) < 24).astype(np.float32), (P, cap)))
+        lml0 = gp_lml_batch(types, params, ln, x, y, mask)
+        key = jax.random.PRNGKey(11)
+        n_mcmc, n_hmc, n_leapfrog = 4, 2, 2
+        hp = dict(step_size=0.01, step_jitter=0.0, jitter=1e-5,
+                  noise_mu=-2.0, noise_sigma=1.0, infer_noise=1.0)
+
+        t_new, p_new, ln_new, lml_new, acc_new, sc_new = rejuvenation_sweep(
+            types, params, ln, lml0, x, y, mask, key, ca, anc,
+            n_mcmc=n_mcmc, n_hmc=n_hmc, n_leapfrog=n_leapfrog,
+            step_size=hp["step_size"], step_jitter=hp["step_jitter"],
+        )
+
+        # reference: identical RNG stream, per-move fwd-only proposal LML
+        # and a fresh initial pot_and_grad inside each HMC call (init=None)
+        propose_v = jax.vmap(device_propose_mixed,
+                             in_axes=(0, 0, 0, None, None))
+        priors_v = jax.vmap(device_prior_arrays, in_axes=(0, None))
+        t_r, p_r, ln_r, lml_r = types, params, ln, lml0
+        scale_r = jnp.ones(P, jnp.float32)
+        accs = []
+        for key_m in jax.random.split(key, n_mcmc):
+            k_prop, k_acc, k_hmc = jax.random.split(key_m, 3)
+            prop_keys = jax.random.split(k_prop, P)
+            t2, p2, log_h = propose_v(t_r, p_r, prop_keys, ca, anc)
+            lml2 = gp_lml_batch(t2, p2, ln_r, x, y, mask)
+            accept = jnp.log(jax.random.uniform(k_acc, (P,))) < (
+                lml2 - lml_r + log_h)
+            accs.append(np.asarray(accept, np.float32))
+            t_r = jnp.where(accept[:, None], t2, t_r)
+            p_r = jnp.where(accept[:, None, None], p2, p_r)
+            lml_r = jnp.where(accept, lml2, lml_r)
+            mu, sg, act = priors_v(t_r, ca)
+            p_r, ln_r, lml_r, _, scale_r, _ = _hmc_batched(
+                t_r, p_r, ln_r, mu, sg, act, x, y, mask, k_hmc, scale_r,
+                n_hmc, n_leapfrog, hp["step_size"], hp["step_jitter"],
+                hp["jitter"], hp["noise_mu"], hp["noise_sigma"],
+                hp["infer_noise"])
+
+        np.testing.assert_array_equal(np.asarray(t_new), np.asarray(t_r))
+        np.testing.assert_allclose(
+            np.asarray(p_new), np.asarray(p_r), rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(ln_new), np.asarray(ln_r), rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(lml_new), np.asarray(lml_r), rtol=2e-4, atol=2e-3)
+        np.testing.assert_allclose(
+            float(acc_new), float(np.mean(accs)), atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(sc_new), np.asarray(scale_r), rtol=1e-5)
