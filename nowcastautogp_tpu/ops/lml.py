@@ -82,7 +82,7 @@ gp_lml = jax.jit(gp_lml_impl)
 # XLA interpreter path (tools/debug_mega.py; PLAN.md round-3 log).
 # Env overrides (read once at import; benchmarking/ops knobs):
 #   NGP_LML_BACKEND ∈ {auto, mega, pallas, jnp}
-#   NGP_CHOL_IMPL   ∈ {auto, xla, inv, panel, static}
+#   NGP_CHOL_IMPL   ∈ {auto, xla, inv, panel, static, mxu}
 import os as _os
 
 
@@ -157,13 +157,13 @@ def _resolve_backend(n_nodes: int, n: int) -> str:
 # product.  NOTE ``set_chol_impl`` must be called before jitted callers
 # first trace — module-level jit caches (``gp_lml_batch``, the fit
 # programs) do not retrace on a later flip.
-_CHOL_IMPL = _env_choice(
-    "NGP_CHOL_IMPL", "auto", ("auto", "xla", "inv", "panel", "static"))
+_CHOL_IMPLS = ("auto", "xla", "inv", "panel", "static", "mxu")
+_CHOL_IMPL = _env_choice("NGP_CHOL_IMPL", "auto", _CHOL_IMPLS)
 
 
 def set_chol_impl(name: str) -> None:
     global _CHOL_IMPL
-    assert name in ("auto", "xla", "inv", "panel", "static"), name
+    assert name in _CHOL_IMPLS, name
     _CHOL_IMPL = name
 
 
@@ -202,6 +202,21 @@ def _ainv_logdet_panel(A):
     return Ainv, logdet
 
 
+def _ainv_logdet_mxu(A):
+    """A → (A^{-1}, logdet) via the fused Pallas blocked Cholesky +
+    triangular inverse (``ops/chol_mxu.py``): no While-loop expansion
+    anywhere — the only sequential latency is the in-kernel 32-step
+    diagonal-block fori loops; all panel updates ride the MXU."""
+    from .chol_mxu import tri_inv_fused
+
+    X = tri_inv_fused(A)
+    Ainv = jnp.einsum("pki,pkj->pij", X, X, precision=_PREC_HI)
+    # diag(L^{-1}) = 1/diag(L) for triangular L, so logdet A = -2 Σ log diag X
+    logdet = -2.0 * jnp.sum(
+        jnp.log(jnp.diagonal(X, axis1=-2, axis2=-1)), axis=-1)
+    return Ainv, logdet
+
+
 def _make_inv_core(ainv_logdet):
     """-0.5(ym^T A^{-1} ym + logdet A) with analytic elementwise backward.
 
@@ -236,6 +251,7 @@ def _make_inv_core(ainv_logdet):
 
 _lml_core_inv = _make_inv_core(_ainv_logdet_xla)
 _lml_core_panel = _make_inv_core(_ainv_logdet_panel)
+_lml_core_mxu = _make_inv_core(_ainv_logdet_mxu)
 
 
 def _lml_from_K(K, log_noise, y, mask, jitter):
@@ -249,9 +265,15 @@ def _lml_from_K(K, log_noise, y, mask, jitter):
     impl = _resolve_chol_impl()
     if impl == "panel" and n % 32 != 0:
         impl = "inv"
+    if impl == "mxu":
+        from .chol_mxu import mxu_supported
+
+        if not mxu_supported(n):
+            impl = "inv"
     n_active = jnp.sum(mask, axis=-1)
-    if impl in ("inv", "panel"):
-        core_fn = _lml_core_panel if impl == "panel" else _lml_core_inv
+    if impl in ("inv", "panel", "mxu"):
+        core_fn = {"panel": _lml_core_panel, "inv": _lml_core_inv,
+                   "mxu": _lml_core_mxu}[impl]
         core = core_fn(A, ym)
         lml = core - 0.5 * n_active * LOG_2PI
         return jnp.where(jnp.isfinite(lml), lml, -1e10)

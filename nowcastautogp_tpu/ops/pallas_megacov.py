@@ -512,7 +512,55 @@ def _compiler_kwargs(interpret):
         vmem_limit_bytes=_VMEM_LIMIT)}
 
 
+# --------------------------------------------------------------------------
+# Structure-sorted chunking.  The kernel's activity gating is per chunk
+# (ANY over the C lanes), so a chunk mixing different tree shapes pays for
+# the union of their node slots.  After SMC resampling the population is
+# dominated by duplicated structures; grouping identical type-rows into the
+# same chunks makes most chunks homogeneous and lets the gate skip most of
+# the 31-slot walk.  Measured (v5e, P=200 cap=160 depth 5, 25 structures
+# duplicated 8x — the post-resample regime): fwd 2.33 -> 1.06 ms; even 200
+# fully distinct structures get 2.01 -> 1.55 ms from shape clustering.
+# The permutation is applied inside the fwd/bwd calls and inverted on the
+# outputs, so per-particle results are bit-identical to the unsorted call.
+# --------------------------------------------------------------------------
+_SORT_CHUNKS = True
+
+
+def set_sort_chunks(enable: bool) -> None:
+    """Disable/enable structure-sorted chunking (A/B and debugging knob)."""
+    global _SORT_CHUNKS
+    _SORT_CHUNKS = bool(enable)
+
+
+@functools.lru_cache(maxsize=8)
+def _hash_vec(n_nodes: int) -> np.ndarray:
+    # host constant (NOT a jax array: caching a traced-context array here
+    # leaks a tracer into later traces; numpy lifts as a constant per trace)
+    rng = np.random.default_rng(12345)
+    return rng.uniform(1.0, 2.0, size=(n_nodes,)).astype(np.float32)
+
+
+def _struct_perm(types):
+    """Permutation grouping identical structure rows.
+
+    A fixed random projection of the type codes: identical rows get
+    identical keys (exact — small-int dot), so duplicates become adjacent;
+    hash collisions between distinct rows only cost gating efficiency."""
+    key = types.astype(jnp.float32) @ _hash_vec(types.shape[1])
+    return jnp.argsort(key)
+
+
 def _fwd_call(types, params, x, interpret):
+    if _SORT_CHUNKS and types.shape[0] > 1:
+        perm = _struct_perm(types)
+        inv = jnp.argsort(perm)
+        out = _fwd_call_impl(types[perm], params[perm], x[perm], interpret)
+        return out[inv]
+    return _fwd_call_impl(types, params, x, interpret)
+
+
+def _fwd_call_impl(types, params, x, interpret):
     from jax.experimental import pallas as pl
 
     P, N = types.shape
@@ -548,6 +596,16 @@ def _fwd_call(types, params, x, interpret):
 
 
 def _bwd_call(types, params, x, dk, interpret):
+    if _SORT_CHUNKS and types.shape[0] > 1:
+        perm = _struct_perm(types)
+        inv = jnp.argsort(perm)
+        dparams = _bwd_call_impl(
+            types[perm], params[perm], x[perm], dk[perm], interpret)
+        return dparams[inv]
+    return _bwd_call_impl(types, params, x, dk, interpret)
+
+
+def _bwd_call_impl(types, params, x, dk, interpret):
     from jax.experimental import pallas as pl
 
     P, N = types.shape

@@ -169,8 +169,18 @@ def _lazy_bwd(res, c):
 
 core_lazy.defvjp(_lazy_fwd, _lazy_bwd)
 
+
+def _inv_fwd_mxu(A):
+    from nowcastautogp_tpu.ops.lml import _ainv_logdet_mxu
+
+    return _ainv_logdet_mxu(A)
+
+
+core_mxu = _make_inv_core(_inv_fwd_mxu)
+
 CORES = {"xla": core_xla, "inv": core_inv, "inv2": core_inv2,
-         "lazy": core_lazy, "inv_st": core_inv_st, "inv_stx": core_inv_stx}
+         "lazy": core_lazy, "inv_st": core_inv_st, "inv_stx": core_inv_stx,
+         "mxu": core_mxu}
 
 
 def main():
