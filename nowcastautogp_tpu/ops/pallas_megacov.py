@@ -95,11 +95,22 @@ def _tiled(n: int) -> bool:
 
 def _chunk_for(n: int, n_nodes: int, n_scratch: int) -> int:
     """Particles per grid step keeping n_scratch (N, C, tr, tc) buffers
-    (plus block operands) under the VMEM budget."""
+    (plus block operands) under the VMEM budget.
+
+    Below the VMEM ceiling the chunk size trades per-grid-step overhead
+    against activity-gating precision (a chunk pays the union of its
+    lanes' node slots).  Measured on the v5e (P=200, depth 5, diverse
+    200-structure population — the regime the fit actually runs in, per
+    the sorting-neutral bench): C=2 wins clearly at n >= 96 (cap 128
+    grad 2.55 -> 1.62 ms, cap 160 fwd 1.69 -> 1.18 ms) and washes at
+    cap 32, where the VMEM-max chunk stays better on duplicated
+    populations; C=1 regresses (step overhead).  See PLAN.md round-3."""
     if _tiled(n):
         tr = tc = _TILE
     else:
         tr, tc = n, int(math.ceil(n / 128)) * 128
+        if n >= 96:
+            return 2
     per_particle = n_nodes * tr * tc * 4
     # 24 MB reserve for the pipelined in/out blocks + compiler stack: the
     # old 12 MB margin OOMed at n=160/C=16 (scoped alloc 102.7M vs the
