@@ -126,11 +126,57 @@ def _rsum11(m):
     return jnp.sum(jnp.sum(m, axis=2, keepdims=True), axis=1, keepdims=True)
 
 
-def _node_fwd_body(i, flags_ref, info_ref, xc, xr, r, r2, log_r, vals, N):
+def _make_regions(n: int, n_pad: int):
+    """Static symmetric-panel compute regions for the untiled plane.
+
+    K(x, x) is symmetric per particle (every leaf/combinator formula is
+    invariant under row/col exchange), so only the lower part of each
+    128-lane column panel needs evaluating: region ``j`` covers rows
+    ``[128j, n)`` x cols ``[128j, 128(j+1))``.  At the fit's cap-160
+    segment this cuts the kernel's plane work from 160x256 to
+    160x128 + 32x128 lanes (40%); the full matrix is rebuilt from
+    transposed panels in XLA (``_assemble_symmetric``) and the VJP folds
+    the cotangent onto the same regions (always valid: dK_ij/dp ==
+    dK_ji/dp identically in the parameters).  For n <= 128 there is a
+    single full-plane region and the kernel behaves exactly as before.
+    """
+    if n <= 128:
+        return ((0, 0, n_pad),)
+    return tuple((128 * j, 128 * j, 128 * (j + 1))
+                 for j in range(n_pad // 128))
+
+
+def _region_planes(xc_ref, xr_ref, regions):
+    """Per-region row/col slices and distance planes.
+
+    Returns ``[(rs, cs, xc_s, xr_s, r, r2, log_r), ...]`` where ``rs``/
+    ``cs`` are the static row/col slices of the full (C, n, n_pad) plane
+    the region covers.  Scratch values outside the union of regions are
+    never written nor read.
+
+    The slices are taken on the operand REFS, not on loaded values:
+    windowed ref loads give canonical (offset-0) vector layouts, whereas
+    value slicing hands downstream broadcasts a lane-offset layout Mosaic
+    rejects (`Invalid input layout` on ``vector.broadcast`` of a
+    ``{*,128}``-offset (C, 1, 128) slice — observed on the v5e at n=160).
+    """
+    n = xc_ref.shape[1]
+    regs = []
+    for (r0, c0, c1) in regions:
+        xc_s = xc_ref[:, r0:n, :]                 # (C, n - r0, 1)
+        xr_s = xr_ref[:, :, c0:c1]                # (C, 1, c1 - c0)
+        d = xc_s - xr_s
+        r = jnp.abs(d)
+        regs.append((slice(r0, None), slice(c0, c1), xc_s, xr_s,
+                     r, d * d, jnp.log(jnp.maximum(r, 1e-30))))
+    return regs
+
+
+def _node_fwd_body(i, flags_ref, info_ref, regs, vals, N):
     """Evaluate heap slot ``i`` for all C chunk lanes into ``vals[i]``.
 
-    ``info_ref[i, j]`` are (C, 1, 1) planes; xc (C, n, 1); xr (C, 1, n);
-    r/r2/log_r (C, n, n).
+    ``info_ref[i, j]`` are (C, 1, 1) planes; each region in ``regs``
+    carries its xc (C, rows, 1), xr (C, 1, cols) and r/r2/log_r planes.
     """
     from jax.experimental import pallas as pl
 
@@ -149,79 +195,83 @@ def _node_fwd_body(i, flags_ref, info_ref, xc, xr, r, r2, log_r, vals, N):
     @pl.when(f(_F_LEAFEXP))
     def _():
         p0, p1 = p(0), p(1)
-        arg = jnp.where(m(_M_CONST), p0 + jnp.zeros_like(r),
-                        jnp.zeros_like(r))
-        arg = jnp.where(m(_M_SE),
-                        p1 - 0.5 * r2 * jnp.exp(-2.0 * p0), arg)
-        vals[i] = arg
+        for (rs, cs, xc, xr, r, r2, log_r) in regs:
+            arg = jnp.where(m(_M_CONST), p0 + jnp.zeros_like(r),
+                            jnp.zeros_like(r))
+            arg = jnp.where(m(_M_SE),
+                            p1 - 0.5 * r2 * jnp.exp(-2.0 * p0), arg)
+            vals[i, :, rs, cs] = arg
 
     @pl.when(f(_F_GE))
     def _():
         p0, p1, p2 = p(0), p(1), p(2)
         gamma = 2.0 * jax.nn.sigmoid(p1)
-        pow_t = jnp.exp(gamma * jnp.maximum(log_r - p0, _LOG_EPS))
-        vals[i] = jnp.where(
-            m(_M_GE), jnp.where(r > 0, p2 - pow_t, p2), vals[i])
+        for (rs, cs, xc, xr, r, r2, log_r) in regs:
+            pow_t = jnp.exp(gamma * jnp.maximum(log_r - p0, _LOG_EPS))
+            vals[i, :, rs, cs] = jnp.where(
+                m(_M_GE), jnp.where(r > 0, p2 - pow_t, p2),
+                vals[i, :, rs, cs])
 
     @pl.when(f(_F_PER))
     def _():
         p0, p1, p2 = p(0), p(1), p(2)
-        s = jnp.sin(_PI * r * jnp.exp(-p1))
-        vals[i] = jnp.where(
-            m(_M_PER), p2 - 2.0 * s * s * jnp.exp(-2.0 * p0), vals[i])
+        for (rs, cs, xc, xr, r, r2, log_r) in regs:
+            s = jnp.sin(_PI * r * jnp.exp(-p1))
+            vals[i, :, rs, cs] = jnp.where(
+                m(_M_PER), p2 - 2.0 * s * s * jnp.exp(-2.0 * p0),
+                vals[i, :, rs, cs])
 
     @pl.when(f(_F_LEAFEXP))
     def _():
-        vals[i] = jnp.exp(vals[i])
+        for (rs, cs, *_rest) in regs:
+            vals[i, :, rs, cs] = jnp.exp(vals[i, :, rs, cs])
 
     @pl.when(f(_F_LIN))
     def _():
         p0, p1 = p(0), p(1)
-        k_lin = jnp.exp(p1) * ((xc - p0) * (xr - p0))
-        vals[i] = jnp.where(m(_M_LIN), k_lin, vals[i])
+        for (rs, cs, xc, xr, r, r2, log_r) in regs:
+            k_lin = jnp.exp(p1) * ((xc - p0) * (xr - p0))
+            vals[i, :, rs, cs] = jnp.where(m(_M_LIN), k_lin,
+                                           vals[i, :, rs, cs])
 
     @pl.when(f(_F_INTERNAL))
     def _():
-        left = vals[li]
-        right = vals[ri]
-        v = jnp.where(m(_M_PLUS), left + right, vals[i])
-        vals[i] = jnp.where(m(_M_TIMES), left * right, v)
+        for (rs, cs, *_rest) in regs:
+            left = vals[li, :, rs, cs]
+            right = vals[ri, :, rs, cs]
+            v = jnp.where(m(_M_PLUS), left + right, vals[i, :, rs, cs])
+            vals[i, :, rs, cs] = jnp.where(m(_M_TIMES), left * right, v)
 
     @pl.when(f(_F_CP))
     def _():
         p0, p1 = p(0), p(1)
-        left = vals[li]
-        right = vals[ri]
         inv_s = jnp.exp(-p1)
-        s1c = jax.nn.sigmoid((xc - p0) * inv_s)   # (C, n, 1)
-        s1r = jax.nn.sigmoid((xr - p0) * inv_s)   # (C, 1, n)
-        k_cp = (s1c * s1r * left
-                + (1.0 - s1c) * (1.0 - s1r) * right)
-        vals[i] = jnp.where(m(_M_CP), k_cp, vals[i])
+        for (rs, cs, xc, xr, r, r2, log_r) in regs:
+            left = vals[li, :, rs, cs]
+            right = vals[ri, :, rs, cs]
+            s1c = jax.nn.sigmoid((xc - p0) * inv_s)   # (C, rows, 1)
+            s1r = jax.nn.sigmoid((xr - p0) * inv_s)   # (C, 1, cols)
+            k_cp = (s1c * s1r * left
+                    + (1.0 - s1c) * (1.0 - s1r) * right)
+            vals[i, :, rs, cs] = jnp.where(m(_M_CP), k_cp,
+                                           vals[i, :, rs, cs])
 
 
-def _planes(xc, xr):
-    d = xc - xr                                   # (C, n, n)
-    r = jnp.abs(d)
-    return r, d * d, jnp.log(jnp.maximum(r, 1e-30))
-
-
-def _cov_fwd_kernel(flags_ref, info_ref, xc_ref, xr_ref, out_ref, vals, *, N):
-    xc = xc_ref[:, :, :]
-    xr = xr_ref[:, :, :]
-    r, r2, log_r = _planes(xc, xr)
+def _cov_fwd_kernel(flags_ref, info_ref, xc_ref, xr_ref, out_ref, vals, *,
+                    N, regions):
+    regs = _region_planes(xc_ref, xr_ref, regions)
 
     def body(it, carry):
-        _node_fwd_body(N - 1 - it, flags_ref, info_ref, xc, xr, r, r2,
-                       log_r, vals, N)
+        _node_fwd_body(N - 1 - it, flags_ref, info_ref, regs, vals, N)
         return carry
 
     jax.lax.fori_loop(0, N, body, 0)
-    out_ref[:, :, :] = vals[0]
+    for (rs, cs, *_rest) in regs:
+        out_ref[:, rs, cs] = vals[0, :, rs, cs]
 
 
 def _cov_bwd_kernel(flags_ref, info_ref, xc_ref, xr_ref, dk_ref,
-                    dparams_ref, *scratch, N, tiled=False):
+                    dparams_ref, *scratch, N, regions, tiled=False):
     import os
 
     from jax.experimental import pallas as pl
@@ -236,18 +286,16 @@ def _cov_bwd_kernel(flags_ref, info_ref, xc_ref, xr_ref, dk_ref,
 
     ablate = set(os.environ.get("MEGA_ABLATE", "").split(","))
 
-    xc = xc_ref[:, :, :]
-    xr = xr_ref[:, :, :]
-    r, r2, log_r = _planes(xc, xr)
+    regs = _region_planes(xc_ref, xr_ref, regions)
 
     def fwd_body(it, carry):
-        _node_fwd_body(N - 1 - it, flags_ref, info_ref, xc, xr, r, r2,
-                       log_r, vals, N)
+        _node_fwd_body(N - 1 - it, flags_ref, info_ref, regs, vals, N)
         return carry
 
     jax.lax.fori_loop(0, N, fwd_body, 0)
 
-    dvals[0] = dk_ref[:, :, :]
+    for (rs, cs, *_rest) in regs:
+        dvals[0, :, rs, cs] = dk_ref[:, rs, cs]
 
     def bwd_body(i, carry):
         li = jnp.minimum(2 * i + 1, N - 1)
@@ -269,16 +317,20 @@ def _cov_bwd_kernel(flags_ref, info_ref, xc_ref, xr_ref, dk_ref,
         if "bnonempty" not in ablate:
             @pl.when(f(_F_NONEMPTY))
             def _():
-                dv = dvals[i]
-                k = vals[i]
                 p0 = p(0)
                 # shared reduction: dk/d(amplitude-slot) = k for every exp leaf
-                damp = _rsum11(dv * k)
+                damp = z11
+                dse = z11
+                for (rs, cs, xc_s, xr_s, r, r2, log_r) in regs:
+                    dv = dvals[i, :, rs, cs]
+                    k = vals[i, :, rs, cs]
+                    damp = damp + _rsum11(dv * k)
+                    dse = dse + _rsum11(dv * k * r2)
                 g0 = jnp.where(m(_M_CONST), damp, z11)
                 g1 = jnp.where(m(_M_SE), damp, z11)
                 g2 = jnp.where(m(_M_GE) | m(_M_PER), damp, z11)
                 g0 = g0 + jnp.where(
-                    m(_M_SE), _rsum11(dv * k * r2 * jnp.exp(-2.0 * p0)), z11)
+                    m(_M_SE), dse * jnp.exp(-2.0 * p0), z11)
                 dp[3 * i] = g0
                 dp[3 * i + 1] = g1
                 dp[3 * i + 2] = g2
@@ -286,97 +338,107 @@ def _cov_bwd_kernel(flags_ref, info_ref, xc_ref, xr_ref, dk_ref,
         if "bge" not in ablate:
             @pl.when(f(_F_GE))
             def _():
-                dv = dvals[i]
-                k = vals[i]
                 p0 = p(0)
                 sig = jax.nn.sigmoid(p(1))
                 gamma = 2.0 * sig
-                w = jnp.maximum(log_r - p0, _LOG_EPS)     # clamped log u
-                notcl = (log_r - p0 > _LOG_EPS).astype(r.dtype)
-                pow_t = jnp.exp(gamma * w)
-                rpos = (r > 0).astype(r.dtype)
-                g0 = jnp.where(
-                    m(_M_GE),
-                    _rsum11(dv * k * gamma * pow_t * rpos * notcl), z11)
-                g1 = jnp.where(
-                    m(_M_GE),
-                    _rsum11(dv * (-k) * pow_t * w * gamma * (1.0 - sig) * rpos),
-                    z11)
+                s0 = z11
+                s1 = z11
+                for (rs, cs, xc_s, xr_s, r, r2, log_r) in regs:
+                    dv = dvals[i, :, rs, cs]
+                    k = vals[i, :, rs, cs]
+                    w = jnp.maximum(log_r - p0, _LOG_EPS)     # clamped log u
+                    notcl = (log_r - p0 > _LOG_EPS).astype(r.dtype)
+                    pow_t = jnp.exp(gamma * w)
+                    rpos = (r > 0).astype(r.dtype)
+                    s0 = s0 + _rsum11(dv * k * pow_t * rpos * notcl)
+                    s1 = s1 + _rsum11(dv * (-k) * pow_t * w * rpos)
+                g0 = jnp.where(m(_M_GE), s0 * gamma, z11)
+                g1 = jnp.where(m(_M_GE), s1 * gamma * (1.0 - sig), z11)
                 dp[3 * i] = dp[3 * i] + g0
                 dp[3 * i + 1] = dp[3 * i + 1] + g1
 
         if "bper" not in ablate:
             @pl.when(f(_F_PER))
             def _():
-                dv = dvals[i]
-                k = vals[i]
                 e2 = jnp.exp(-2.0 * p(0))
-                arg = _PI * r * jnp.exp(-p(1))
-                s = jnp.sin(arg)
-                g0 = jnp.where(m(_M_PER),
-                               _rsum11(dv * k * 4.0 * s * s * e2), z11)
-                g1 = jnp.where(
-                    m(_M_PER),
-                    _rsum11(dv * k * 4.0 * s * jnp.cos(arg) * arg * e2), z11)
+                einv = jnp.exp(-p(1))
+                s0 = z11
+                s1 = z11
+                for (rs, cs, xc_s, xr_s, r, r2, log_r) in regs:
+                    dv = dvals[i, :, rs, cs]
+                    k = vals[i, :, rs, cs]
+                    arg = _PI * r * einv
+                    s = jnp.sin(arg)
+                    s0 = s0 + _rsum11(dv * k * 4.0 * s * s)
+                    s1 = s1 + _rsum11(dv * k * 4.0 * s * jnp.cos(arg) * arg)
+                g0 = jnp.where(m(_M_PER), s0 * e2, z11)
+                g1 = jnp.where(m(_M_PER), s1 * e2, z11)
                 dp[3 * i] = dp[3 * i] + g0
                 dp[3 * i + 1] = dp[3 * i + 1] + g1
 
         if "blin" not in ablate:
             @pl.when(f(_F_LIN))
             def _():
-                dv = dvals[i]
-                k = vals[i]
                 p0, p1 = p(0), p(1)
-                g0 = jnp.where(
-                    m(_M_LIN),
-                    _rsum11(dv * (-jnp.exp(p1))
-                            * ((xc - p0) + (xr - p0))), z11)
-                g1 = jnp.where(m(_M_LIN), _rsum11(dv * k), z11)
+                s0 = z11
+                s1 = z11
+                for (rs, cs, xc_s, xr_s, r, r2, log_r) in regs:
+                    dv = dvals[i, :, rs, cs]
+                    k = vals[i, :, rs, cs]
+                    s0 = s0 + _rsum11(dv * ((xc_s - p0) + (xr_s - p0)))
+                    s1 = s1 + _rsum11(dv * k)
+                g0 = jnp.where(m(_M_LIN), s0 * (-jnp.exp(p1)), z11)
+                g1 = jnp.where(m(_M_LIN), s1, z11)
                 dp[3 * i] = dp[3 * i] + g0
                 dp[3 * i + 1] = dp[3 * i + 1] + g1
 
         if "bint" not in ablate:
             @pl.when(f(_F_INTERNAL))
             def _():
-                dv = dvals[i]
-                left = vals[li]
-                right = vals[ri]
-                is_plus = m(_M_PLUS).astype(r.dtype)
-                is_times = m(_M_TIMES).astype(r.dtype)
-                dvals[li] = is_plus * dv + is_times * dv * right
-                dvals[ri] = is_plus * dv + is_times * dv * left
+                is_plus = m(_M_PLUS).astype(jnp.float32)
+                is_times = m(_M_TIMES).astype(jnp.float32)
+                for (rs, cs, *_rest) in regs:
+                    dv = dvals[i, :, rs, cs]
+                    left = vals[li, :, rs, cs]
+                    right = vals[ri, :, rs, cs]
+                    dvals[li, :, rs, cs] = is_plus * dv + is_times * dv * right
+                    dvals[ri, :, rs, cs] = is_plus * dv + is_times * dv * left
 
         if "bcp" not in ablate:
             @pl.when(f(_F_CP))
             def _():
-                dv = dvals[i]
-                left = vals[li]
-                right = vals[ri]
                 p0 = p(0)
                 inv_s = jnp.exp(-p(1))
-                zc = (xc - p0) * inv_s                    # (C, n, 1)
-                zr = (xr - p0) * inv_s                    # (C, 1, n)
-                s1c = jax.nn.sigmoid(zc)
-                s1r = jax.nn.sigmoid(zr)
-                is_cp = m(_M_CP).astype(r.dtype)
-                dvals[li] = dvals[li] + is_cp * dv * (s1c * s1r)
-                dvals[ri] = dvals[ri] + is_cp * dv * (
-                    (1.0 - s1c) * (1.0 - s1r))
-                # location / log-scale grads via the row and column sigmoids
-                M1 = dv * (s1r * left - (1.0 - s1r) * right)   # d/ds1 col factor
-                M2 = dv * (s1c * left - (1.0 - s1c) * right)   # d/ds1 row factor
-                a1 = jnp.sum(M1, axis=2, keepdims=True)        # (C, n, 1)
-                a2 = jnp.sum(M2, axis=1, keepdims=True)        # (C, 1, n)
-                spc = s1c * (1.0 - s1c)
-                spr = s1r * (1.0 - s1r)
-                g0 = (jnp.sum(a1 * spc * (-inv_s), axis=1, keepdims=True)
-                      + jnp.sum(a2 * spr * (-inv_s), axis=2, keepdims=True))
-                g1 = (jnp.sum(a1 * spc * (-zc), axis=1, keepdims=True)
-                      + jnp.sum(a2 * spr * (-zr), axis=2, keepdims=True))
-                dp[3 * i] = dp[3 * i] + jnp.where(
-                    m(_M_CP), g0, z11)
-                dp[3 * i + 1] = dp[3 * i + 1] + jnp.where(
-                    m(_M_CP), g1, z11)
+                is_cp = m(_M_CP).astype(jnp.float32)
+                g0a = z11
+                g1a = z11
+                for (rs, cs, xc_s, xr_s, r, r2, log_r) in regs:
+                    dv = dvals[i, :, rs, cs]
+                    left = vals[li, :, rs, cs]
+                    right = vals[ri, :, rs, cs]
+                    zc = (xc_s - p0) * inv_s              # (C, rows, 1)
+                    zr = (xr_s - p0) * inv_s              # (C, 1, cols)
+                    s1c = jax.nn.sigmoid(zc)
+                    s1r = jax.nn.sigmoid(zr)
+                    dvals[li, :, rs, cs] = dvals[li, :, rs, cs] + (
+                        is_cp * dv * (s1c * s1r))
+                    dvals[ri, :, rs, cs] = dvals[ri, :, rs, cs] + (
+                        is_cp * dv * ((1.0 - s1c) * (1.0 - s1r)))
+                    # location / log-scale grads via row and column sigmoids
+                    M1 = dv * (s1r * left - (1.0 - s1r) * right)
+                    M2 = dv * (s1c * left - (1.0 - s1c) * right)
+                    a1 = jnp.sum(M1, axis=2, keepdims=True)  # (C, rows, 1)
+                    a2 = jnp.sum(M2, axis=1, keepdims=True)  # (C, 1, cols)
+                    spc = s1c * (1.0 - s1c)
+                    spr = s1r * (1.0 - s1r)
+                    g0a = g0a + (
+                        jnp.sum(a1 * spc * (-inv_s), axis=1, keepdims=True)
+                        + jnp.sum(a2 * spr * (-inv_s), axis=2, keepdims=True))
+                    g1a = g1a + (
+                        jnp.sum(a1 * spc * (-zc), axis=1, keepdims=True)
+                        + jnp.sum(a2 * spr * (-zr), axis=2, keepdims=True))
+                dp[3 * i] = dp[3 * i] + jnp.where(m(_M_CP), g0a, z11)
+                dp[3 * i + 1] = dp[3 * i + 1] + jnp.where(m(_M_CP), g1a, z11)
 
         return carry
 
@@ -571,6 +633,28 @@ def _fwd_call(types, params, x, interpret):
     return _fwd_call_impl(types, params, x, interpret)
 
 
+def _assemble_symmetric(out, regions, n):
+    """Rebuild the full symmetric K from lower column panels.
+
+    Pure slices + transposes — the never-written upper region of ``out``
+    cannot leak into the result.  Panel ``j``'s upper block (rows < 128j)
+    is the transpose of the already-computed block at (rows 128j:cm,
+    cols 0:128j), which lives in earlier regions.
+    """
+    panels = []
+    for (r0, c0, c1) in regions:
+        cm = min(c1, n)
+        if cm <= c0:
+            break  # pure lane-padding panel, nothing real to emit
+        low = out[:, r0:n, c0:cm]
+        if r0 == 0:
+            panels.append(low)
+        else:
+            up = jnp.swapaxes(out[:, c0:cm, :r0], 1, 2)
+            panels.append(jnp.concatenate([up, low], axis=1))
+    return jnp.concatenate(panels, axis=2)
+
+
 def _fwd_call_impl(types, params, x, interpret):
     from jax.experimental import pallas as pl
 
@@ -582,7 +666,8 @@ def _fwd_call_impl(types, params, x, interpret):
         T = n_pad // _TILE
         fs, infs, xcs, xrs, ks = _specs_tiled(C, N, interpret)
         out = pl.pallas_call(
-            functools.partial(_cov_fwd_kernel, N=N),
+            functools.partial(_cov_fwd_kernel, N=N,
+                              regions=((0, 0, _TILE),)),
             grid=(G, T, T),
             in_specs=[fs, infs, xcs, xrs],
             out_specs=ks,
@@ -592,9 +677,10 @@ def _fwd_call_impl(types, params, x, interpret):
             **_compiler_kwargs(interpret),
         )(flags, info, xc, xr)
         return out[:P, :n, :n]
+    regions = _make_regions(n, n_pad)
     fs, infs, xcs, xrs, ks = _specs(C, N, n, interpret)
     out = pl.pallas_call(
-        functools.partial(_cov_fwd_kernel, N=N),
+        functools.partial(_cov_fwd_kernel, N=N, regions=regions),
         grid=(G,),
         in_specs=[fs, infs, xcs, xrs],
         out_specs=ks,
@@ -603,7 +689,9 @@ def _fwd_call_impl(types, params, x, interpret):
         interpret=interpret,
         **_compiler_kwargs(interpret),
     )(flags, info, xc, xr)
-    return out[:P, :, :n]
+    if len(regions) == 1:
+        return out[:P, :, :n]
+    return _assemble_symmetric(out, regions, n)[:P]
 
 
 def _bwd_call(types, params, x, dk, interpret):
@@ -630,7 +718,8 @@ def _bwd_call_impl(types, params, x, dk, interpret):
         dp_spec = pl.BlockSpec((None, N * 3, C, 1, 1),
                                lambda g, i, j: (g, 0, 0, 0, 0))
         dparams_l = pl.pallas_call(
-            functools.partial(_cov_bwd_kernel, N=N, tiled=True),
+            functools.partial(_cov_bwd_kernel, N=N,
+                              regions=((0, 0, _TILE),), tiled=True),
             grid=(G, T, T),
             in_specs=[fs, infs, xcs, xrs, ks],
             out_specs=dp_spec,
@@ -643,12 +732,20 @@ def _bwd_call_impl(types, params, x, dk, interpret):
         )(flags, info, xc, xr, dk)
         dparams = dparams_l.reshape(G, N, 3, C).transpose(0, 3, 1, 2)
         return dparams.reshape(Pp, N, 3)[:P]
+    regions = _make_regions(n, n_pad)
+    if len(regions) > 1:
+        # fold the cotangent onto the computed (lower-panel) regions:
+        # sum_ij W_ij dK_ij/dp == sum_ij W''_ij dK_ij/dp with W'' =
+        # tril(W + W^T, -1) + diag(W), because dK/dp is symmetric.
+        # Entries of W'' in never-computed areas are zero by construction.
+        dk = (jnp.tril(dk + jnp.swapaxes(dk, 1, 2), k=-1)
+              + jnp.eye(n, dtype=dk.dtype) * dk)
     dk = jnp.pad(dk, ((0, Pp - P), (0, 0), (0, n_pad - n)))
     fs, infs, xcs, xrs, ks = _specs(C, N, n, interpret)
     dp_spec = pl.BlockSpec((None, N * 3, C, 1, 1),
                            lambda g: (g, 0, 0, 0, 0))
     dparams_l = pl.pallas_call(
-        functools.partial(_cov_bwd_kernel, N=N),
+        functools.partial(_cov_bwd_kernel, N=N, regions=regions),
         grid=(G,),
         in_specs=[fs, infs, xcs, xrs, ks],
         out_specs=dp_spec,

@@ -120,6 +120,28 @@ class TestForwardParity:
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                    rtol=2e-4, atol=2e-4)
 
+    def test_symmetric_panels_n160(self):
+        # n=160 -> n_pad=256 and TWO compute regions: (rows 0:, cols 0:128)
+        # + (rows 128:, cols 128:256).  The untiled kernel evaluates only
+        # the lower column panels; the full K comes from XLA reassembly and
+        # the VJP folds the cotangent (tril(W + W^T, -1) + diag W) onto the
+        # computed regions.  This is the fit's dominant cap-160 regime.
+        types, params = _handcrafted_particles()
+        x = _x_rows(types.shape[0], 160)
+        assert len(mega._make_regions(160, 256)) == 2
+        K = mega.cov_batched_fused(types, params, x)
+        K_ref = _ref_cov(types, params, x)
+        np.testing.assert_allclose(np.asarray(K), np.asarray(K_ref),
+                                   rtol=1e-5, atol=1e-5)
+        rng = np.random.default_rng(29)
+        W = jnp.asarray(rng.standard_normal(
+            (types.shape[0], 160, 160)).astype(np.float32))
+        g1 = jax.grad(lambda p: jnp.sum(
+            W * mega.cov_batched_fused(types, p, x)))(params)
+        g2 = jax.grad(lambda p: jnp.sum(W * _ref_cov(types, p, x)))(params)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=2e-4, atol=2e-4)
+
     def test_unsupported_shapes_flagged(self):
         assert not mega.megacov_supported(64, 100)  # n % 8 != 0
         assert not mega.megacov_supported(64, 1024)  # heap beyond 63 nodes

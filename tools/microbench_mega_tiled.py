@@ -36,6 +36,32 @@ def _time(f, *args, n=10, warmup=3):
     return (time.perf_counter() - t0) / n * 1e3  # ms
 
 
+def _time_chain(fn, params, iters=10):
+    """Chained-scan ground truth: `iters` data-dependent applications of
+    ``fn(params)`` inside ONE jit, timed around a scalar readback.
+
+    On the axon tunnel ``block_until_ready`` on array outputs does NOT
+    synchronize (only value readbacks do — PLAN.md round-3), so per-call
+    dispatch timing lies; this is the trusted methodology from
+    tools/profile_sweep.py / exp_mosaic_dots.py."""
+    from jax import lax
+
+    @jax.jit
+    def chain(p):
+        def body(carry, _):
+            out = fn(p * (1.0 + 1e-6 * carry))
+            s = sum(jnp.sum(leaf) for leaf in jax.tree_util.tree_leaves(out))
+            return carry + 1e-20 * s, ()
+
+        c, _ = lax.scan(body, jnp.float32(0.0), None, length=iters)
+        return c
+
+    float(chain(params))  # compile + warm
+    t0 = time.perf_counter()
+    float(chain(params))
+    return (time.perf_counter() - t0) / iters * 1e3  # ms
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--p", type=int, default=200)
@@ -96,7 +122,7 @@ def main():
         for name, fn in (("mega fwd", fm), ("jnp fwd", fj),
                          ("mega grad", gm), ("jnp grad", gj)):
             try:
-                results[name] = _time(fn, params)
+                results[name] = _time_chain(fn, params)
                 print(f"P={P} n={n} ({tag})  {name:9s} "
                       f"{results[name]:8.2f} ms", flush=True)
             except Exception as e:  # noqa: BLE001 — diagnostic tool
