@@ -121,12 +121,15 @@ def _resolve_backend(n_nodes: int, n: int) -> str:
     if _LML_BACKEND == "mega":
         return "mega" if megacov_supported(n_nodes, n) else "jnp"
     if _LML_BACKEND == "auto":
-        from .pallas_megacov import _tiled
-
-        # auto only takes the measured single-plane region; the tiled-plane
-        # path (n_pad > 512) is explicit opt-in until it has TPU numbers
+        # Covers both the single-plane region (n_pad <= 512) and the
+        # tiled-plane path, both measured on the v5e: tiled n=640 fwd
+        # 22.4 ms / grad 31.8 ms, n=1024 grad 52.1 ms at P=200 depth 5
+        # (chained-scan; tools/microbench_mega_tiled.py) — sublinear in
+        # the n^2 plane growth, while the jnp interpreter's autodiff HLO
+        # at those sizes exceeds this tunnel's remote-compile body limit
+        # (HTTP 413) and extrapolates to >500 ms from its 53 ms at n=192.
         return ("mega" if _on_tpu() and megacov_supported(n_nodes, n)
-                and not _tiled(n) else "jnp")
+                else "jnp")
     return _LML_BACKEND
 
 

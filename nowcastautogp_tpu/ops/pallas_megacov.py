@@ -107,15 +107,19 @@ def _chunk_for(n: int, n_nodes: int, n_scratch: int) -> int:
     populations; C=1 regresses (step overhead).  See PLAN.md round-3."""
     if _tiled(n):
         tr = tc = _TILE
+        cands = (16, 8, 4, 2, 1)
     else:
         tr, tc = n, int(math.ceil(n / 128)) * 128
-        if n >= 96:
-            return 2
+        # the measured-preferred C=2 still has to clear the VMEM budget:
+        # at n=416 the backward's two (31, 2, 416, 512) scratch buffers
+        # are 105.7 MB — 768 KB over the scoped limit (observed as a
+        # compile-time stack OOM on the daily-cadence end-to-end drive)
+        cands = (2, 1) if n >= 96 else (16, 8, 4, 2, 1)
     per_particle = n_nodes * tr * tc * 4
     # 24 MB reserve for the pipelined in/out blocks + compiler stack: the
     # old 12 MB margin OOMed at n=160/C=16 (scoped alloc 102.7M vs the
     # 100M limit — non-128-multiple n pays a 1.6x lane-padding ratio)
-    for c in (16, 8, 4, 2, 1):
+    for c in cands:
         if n_scratch * c * per_particle <= _VMEM_LIMIT - 24 * 1024 * 1024:
             return c
     return 1

@@ -149,6 +149,30 @@ class TestForwardParity:
         assert mega.megacov_supported(31, 192)
         assert mega.megacov_supported(31, 1024)  # tiled-plane path
 
+    def test_chunk_policy_respects_vmem(self):
+        # Regression: the measured C=2 preference (untiled n >= 96) must
+        # still clear the scoped-VMEM budget.  At n=416 the backward's two
+        # (31, 2, 416, 512) scratch buffers are 105.7 MB > the 100 MB
+        # limit — observed as a compile-time VMEM stack OOM on a real
+        # n=600 daily-cadence fit (cap-416 schedule segment).
+        import math as _math
+
+        budget = mega._VMEM_LIMIT - 24 * 1024 * 1024
+        for n in range(8, mega.MAX_MEGA_N + 1, 8):
+            for n_nodes in (31, 63):
+                for n_scratch in (1, 2):
+                    c = mega._chunk_for(n, n_nodes, n_scratch)
+                    if mega._tiled(n):
+                        tr = tc = mega._TILE
+                    else:
+                        tr = n
+                        tc = int(_math.ceil(n / 128)) * 128
+                    assert (c == 1
+                            or n_scratch * c * n_nodes * tr * tc * 4
+                            <= budget), (n, n_nodes, n_scratch, c)
+        assert mega._chunk_for(416, 31, 2) == 1
+        assert mega._chunk_for(160, 31, 2) == 2
+
 
 class TestTiledPlane:
     """n past the single-step VMEM plan: the (_TILE, _TILE) tiled path with

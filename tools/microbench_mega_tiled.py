@@ -2,10 +2,16 @@
 
 The tiled path (``pallas_megacov._tiled``: n_pad > 512, (256, 256) plane
 tiles, accumulating dparams output) is numerics-validated in interpret mode
-(``tests/test_pallas_megacov.py::TestTiledPlane``) but needs on-chip
-timings before ``auto`` may route large-n fits through it.  This prints
-fwd / weighted-grad times for megacov vs the jnp level-vectorized
-interpreter at daily-cadence sizes.
+(``tests/test_pallas_megacov.py::TestTiledPlane``) and measured on the v5e
+(P=200 depth 5, chained-scan: n=640 fwd 22.4 ms / grad 31.8 ms, n=1024
+grad 52.1 ms — sublinear in the n^2 plane growth), so ``auto`` routes
+large-n fits through it.  This prints fwd / weighted-grad times for
+megacov vs the jnp level-vectorized interpreter at daily-cadence sizes.
+
+NOTE when extending: pass the cotangent W as a jit ARGUMENT, not a
+closure capture — a captured (P, n, n) W is embedded in the program as a
+literal and the remote-compile request exceeds the tunnel body limit
+(HTTP 413) from n=640 up.
 
 Usage: python tools/microbench_mega_tiled.py [--p 200] [--n 640 1024]
 """
