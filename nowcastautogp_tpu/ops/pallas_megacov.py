@@ -274,6 +274,160 @@ def _cov_fwd_kernel(flags_ref, info_ref, xc_ref, xr_ref, out_ref, vals, *,
         out_ref[:, rs, cs] = vals[0, :, rs, cs]
 
 
+def _node_bwd_body(i, flags_ref, info_ref, regs, vals, dvals, dp, N,
+                   ablate):
+    """Top-down cotangent sweep for heap slot ``i``.
+
+    Shared by the cov-only backward kernel and the fused LML
+    value+grad kernel (``ops/pallas_megalml.py``): reads ``vals``
+    (forward walk) and ``dvals[i]``, writes child cotangents into
+    ``dvals`` and parameter grads into ``dp[3i:3i+3]``.
+    """
+    from jax.experimental import pallas as pl
+
+    li = jnp.minimum(2 * i + 1, N - 1)
+    ri = jnp.minimum(2 * i + 2, N - 1)
+    z11 = jnp.zeros_like(info_ref[i, 0])     # (C, 1, 1)
+    dp[3 * i] = z11
+    dp[3 * i + 1] = z11
+    dp[3 * i + 2] = z11
+
+    def f(j):
+        return flags_ref[i, j] != 0
+
+    def m(j):
+        return info_ref[i, j] > 0.5
+
+    def p(j):
+        return info_ref[i, (_M_P0, _M_P1, _M_P2)[j]]
+
+    if "bnonempty" not in ablate:
+        @pl.when(f(_F_NONEMPTY))
+        def _():
+            p0 = p(0)
+            # shared reduction: dk/d(amplitude-slot) = k for every exp leaf
+            damp = z11
+            dse = z11
+            for (rs, cs, xc_s, xr_s, r, r2, log_r) in regs:
+                dv = dvals[i, :, rs, cs]
+                k = vals[i, :, rs, cs]
+                damp = damp + _rsum11(dv * k)
+                dse = dse + _rsum11(dv * k * r2)
+            g0 = jnp.where(m(_M_CONST), damp, z11)
+            g1 = jnp.where(m(_M_SE), damp, z11)
+            g2 = jnp.where(m(_M_GE) | m(_M_PER), damp, z11)
+            g0 = g0 + jnp.where(
+                m(_M_SE), dse * jnp.exp(-2.0 * p0), z11)
+            dp[3 * i] = g0
+            dp[3 * i + 1] = g1
+            dp[3 * i + 2] = g2
+
+    if "bge" not in ablate:
+        @pl.when(f(_F_GE))
+        def _():
+            p0 = p(0)
+            sig = jax.nn.sigmoid(p(1))
+            gamma = 2.0 * sig
+            s0 = z11
+            s1 = z11
+            for (rs, cs, xc_s, xr_s, r, r2, log_r) in regs:
+                dv = dvals[i, :, rs, cs]
+                k = vals[i, :, rs, cs]
+                w = jnp.maximum(log_r - p0, _LOG_EPS)     # clamped log u
+                notcl = (log_r - p0 > _LOG_EPS).astype(r.dtype)
+                pow_t = jnp.exp(gamma * w)
+                rpos = (r > 0).astype(r.dtype)
+                s0 = s0 + _rsum11(dv * k * pow_t * rpos * notcl)
+                s1 = s1 + _rsum11(dv * (-k) * pow_t * w * rpos)
+            g0 = jnp.where(m(_M_GE), s0 * gamma, z11)
+            g1 = jnp.where(m(_M_GE), s1 * gamma * (1.0 - sig), z11)
+            dp[3 * i] = dp[3 * i] + g0
+            dp[3 * i + 1] = dp[3 * i + 1] + g1
+
+    if "bper" not in ablate:
+        @pl.when(f(_F_PER))
+        def _():
+            e2 = jnp.exp(-2.0 * p(0))
+            einv = jnp.exp(-p(1))
+            s0 = z11
+            s1 = z11
+            for (rs, cs, xc_s, xr_s, r, r2, log_r) in regs:
+                dv = dvals[i, :, rs, cs]
+                k = vals[i, :, rs, cs]
+                arg = _PI * r * einv
+                s = jnp.sin(arg)
+                s0 = s0 + _rsum11(dv * k * 4.0 * s * s)
+                s1 = s1 + _rsum11(dv * k * 4.0 * s * jnp.cos(arg) * arg)
+            g0 = jnp.where(m(_M_PER), s0 * e2, z11)
+            g1 = jnp.where(m(_M_PER), s1 * e2, z11)
+            dp[3 * i] = dp[3 * i] + g0
+            dp[3 * i + 1] = dp[3 * i + 1] + g1
+
+    if "blin" not in ablate:
+        @pl.when(f(_F_LIN))
+        def _():
+            p0, p1 = p(0), p(1)
+            s0 = z11
+            s1 = z11
+            for (rs, cs, xc_s, xr_s, r, r2, log_r) in regs:
+                dv = dvals[i, :, rs, cs]
+                k = vals[i, :, rs, cs]
+                s0 = s0 + _rsum11(dv * ((xc_s - p0) + (xr_s - p0)))
+                s1 = s1 + _rsum11(dv * k)
+            g0 = jnp.where(m(_M_LIN), s0 * (-jnp.exp(p1)), z11)
+            g1 = jnp.where(m(_M_LIN), s1, z11)
+            dp[3 * i] = dp[3 * i] + g0
+            dp[3 * i + 1] = dp[3 * i + 1] + g1
+
+    if "bint" not in ablate:
+        @pl.when(f(_F_INTERNAL))
+        def _():
+            is_plus = m(_M_PLUS).astype(jnp.float32)
+            is_times = m(_M_TIMES).astype(jnp.float32)
+            for (rs, cs, *_rest) in regs:
+                dv = dvals[i, :, rs, cs]
+                left = vals[li, :, rs, cs]
+                right = vals[ri, :, rs, cs]
+                dvals[li, :, rs, cs] = is_plus * dv + is_times * dv * right
+                dvals[ri, :, rs, cs] = is_plus * dv + is_times * dv * left
+
+    if "bcp" not in ablate:
+        @pl.when(f(_F_CP))
+        def _():
+            p0 = p(0)
+            inv_s = jnp.exp(-p(1))
+            is_cp = m(_M_CP).astype(jnp.float32)
+            g0a = z11
+            g1a = z11
+            for (rs, cs, xc_s, xr_s, r, r2, log_r) in regs:
+                dv = dvals[i, :, rs, cs]
+                left = vals[li, :, rs, cs]
+                right = vals[ri, :, rs, cs]
+                zc = (xc_s - p0) * inv_s              # (C, rows, 1)
+                zr = (xr_s - p0) * inv_s              # (C, 1, cols)
+                s1c = jax.nn.sigmoid(zc)
+                s1r = jax.nn.sigmoid(zr)
+                dvals[li, :, rs, cs] = dvals[li, :, rs, cs] + (
+                    is_cp * dv * (s1c * s1r))
+                dvals[ri, :, rs, cs] = dvals[ri, :, rs, cs] + (
+                    is_cp * dv * ((1.0 - s1c) * (1.0 - s1r)))
+                # location / log-scale grads via row and column sigmoids
+                M1 = dv * (s1r * left - (1.0 - s1r) * right)
+                M2 = dv * (s1c * left - (1.0 - s1c) * right)
+                a1 = jnp.sum(M1, axis=2, keepdims=True)  # (C, rows, 1)
+                a2 = jnp.sum(M2, axis=1, keepdims=True)  # (C, 1, cols)
+                spc = s1c * (1.0 - s1c)
+                spr = s1r * (1.0 - s1r)
+                g0a = g0a + (
+                    jnp.sum(a1 * spc * (-inv_s), axis=1, keepdims=True)
+                    + jnp.sum(a2 * spr * (-inv_s), axis=2, keepdims=True))
+                g1a = g1a + (
+                    jnp.sum(a1 * spc * (-zc), axis=1, keepdims=True)
+                    + jnp.sum(a2 * spr * (-zr), axis=2, keepdims=True))
+            dp[3 * i] = dp[3 * i] + jnp.where(m(_M_CP), g0a, z11)
+            dp[3 * i + 1] = dp[3 * i + 1] + jnp.where(m(_M_CP), g1a, z11)
+
+
 def _cov_bwd_kernel(flags_ref, info_ref, xc_ref, xr_ref, dk_ref,
                     dparams_ref, *scratch, N, regions, tiled=False):
     import os
@@ -302,148 +456,8 @@ def _cov_bwd_kernel(flags_ref, info_ref, xc_ref, xr_ref, dk_ref,
         dvals[0, :, rs, cs] = dk_ref[:, rs, cs]
 
     def bwd_body(i, carry):
-        li = jnp.minimum(2 * i + 1, N - 1)
-        ri = jnp.minimum(2 * i + 2, N - 1)
-        z11 = jnp.zeros_like(info_ref[i, 0])     # (C, 1, 1)
-        dp[3 * i] = z11
-        dp[3 * i + 1] = z11
-        dp[3 * i + 2] = z11
-
-        def f(j):
-            return flags_ref[i, j] != 0
-
-        def m(j):
-            return info_ref[i, j] > 0.5
-
-        def p(j):
-            return info_ref[i, (_M_P0, _M_P1, _M_P2)[j]]
-
-        if "bnonempty" not in ablate:
-            @pl.when(f(_F_NONEMPTY))
-            def _():
-                p0 = p(0)
-                # shared reduction: dk/d(amplitude-slot) = k for every exp leaf
-                damp = z11
-                dse = z11
-                for (rs, cs, xc_s, xr_s, r, r2, log_r) in regs:
-                    dv = dvals[i, :, rs, cs]
-                    k = vals[i, :, rs, cs]
-                    damp = damp + _rsum11(dv * k)
-                    dse = dse + _rsum11(dv * k * r2)
-                g0 = jnp.where(m(_M_CONST), damp, z11)
-                g1 = jnp.where(m(_M_SE), damp, z11)
-                g2 = jnp.where(m(_M_GE) | m(_M_PER), damp, z11)
-                g0 = g0 + jnp.where(
-                    m(_M_SE), dse * jnp.exp(-2.0 * p0), z11)
-                dp[3 * i] = g0
-                dp[3 * i + 1] = g1
-                dp[3 * i + 2] = g2
-
-        if "bge" not in ablate:
-            @pl.when(f(_F_GE))
-            def _():
-                p0 = p(0)
-                sig = jax.nn.sigmoid(p(1))
-                gamma = 2.0 * sig
-                s0 = z11
-                s1 = z11
-                for (rs, cs, xc_s, xr_s, r, r2, log_r) in regs:
-                    dv = dvals[i, :, rs, cs]
-                    k = vals[i, :, rs, cs]
-                    w = jnp.maximum(log_r - p0, _LOG_EPS)     # clamped log u
-                    notcl = (log_r - p0 > _LOG_EPS).astype(r.dtype)
-                    pow_t = jnp.exp(gamma * w)
-                    rpos = (r > 0).astype(r.dtype)
-                    s0 = s0 + _rsum11(dv * k * pow_t * rpos * notcl)
-                    s1 = s1 + _rsum11(dv * (-k) * pow_t * w * rpos)
-                g0 = jnp.where(m(_M_GE), s0 * gamma, z11)
-                g1 = jnp.where(m(_M_GE), s1 * gamma * (1.0 - sig), z11)
-                dp[3 * i] = dp[3 * i] + g0
-                dp[3 * i + 1] = dp[3 * i + 1] + g1
-
-        if "bper" not in ablate:
-            @pl.when(f(_F_PER))
-            def _():
-                e2 = jnp.exp(-2.0 * p(0))
-                einv = jnp.exp(-p(1))
-                s0 = z11
-                s1 = z11
-                for (rs, cs, xc_s, xr_s, r, r2, log_r) in regs:
-                    dv = dvals[i, :, rs, cs]
-                    k = vals[i, :, rs, cs]
-                    arg = _PI * r * einv
-                    s = jnp.sin(arg)
-                    s0 = s0 + _rsum11(dv * k * 4.0 * s * s)
-                    s1 = s1 + _rsum11(dv * k * 4.0 * s * jnp.cos(arg) * arg)
-                g0 = jnp.where(m(_M_PER), s0 * e2, z11)
-                g1 = jnp.where(m(_M_PER), s1 * e2, z11)
-                dp[3 * i] = dp[3 * i] + g0
-                dp[3 * i + 1] = dp[3 * i + 1] + g1
-
-        if "blin" not in ablate:
-            @pl.when(f(_F_LIN))
-            def _():
-                p0, p1 = p(0), p(1)
-                s0 = z11
-                s1 = z11
-                for (rs, cs, xc_s, xr_s, r, r2, log_r) in regs:
-                    dv = dvals[i, :, rs, cs]
-                    k = vals[i, :, rs, cs]
-                    s0 = s0 + _rsum11(dv * ((xc_s - p0) + (xr_s - p0)))
-                    s1 = s1 + _rsum11(dv * k)
-                g0 = jnp.where(m(_M_LIN), s0 * (-jnp.exp(p1)), z11)
-                g1 = jnp.where(m(_M_LIN), s1, z11)
-                dp[3 * i] = dp[3 * i] + g0
-                dp[3 * i + 1] = dp[3 * i + 1] + g1
-
-        if "bint" not in ablate:
-            @pl.when(f(_F_INTERNAL))
-            def _():
-                is_plus = m(_M_PLUS).astype(jnp.float32)
-                is_times = m(_M_TIMES).astype(jnp.float32)
-                for (rs, cs, *_rest) in regs:
-                    dv = dvals[i, :, rs, cs]
-                    left = vals[li, :, rs, cs]
-                    right = vals[ri, :, rs, cs]
-                    dvals[li, :, rs, cs] = is_plus * dv + is_times * dv * right
-                    dvals[ri, :, rs, cs] = is_plus * dv + is_times * dv * left
-
-        if "bcp" not in ablate:
-            @pl.when(f(_F_CP))
-            def _():
-                p0 = p(0)
-                inv_s = jnp.exp(-p(1))
-                is_cp = m(_M_CP).astype(jnp.float32)
-                g0a = z11
-                g1a = z11
-                for (rs, cs, xc_s, xr_s, r, r2, log_r) in regs:
-                    dv = dvals[i, :, rs, cs]
-                    left = vals[li, :, rs, cs]
-                    right = vals[ri, :, rs, cs]
-                    zc = (xc_s - p0) * inv_s              # (C, rows, 1)
-                    zr = (xr_s - p0) * inv_s              # (C, 1, cols)
-                    s1c = jax.nn.sigmoid(zc)
-                    s1r = jax.nn.sigmoid(zr)
-                    dvals[li, :, rs, cs] = dvals[li, :, rs, cs] + (
-                        is_cp * dv * (s1c * s1r))
-                    dvals[ri, :, rs, cs] = dvals[ri, :, rs, cs] + (
-                        is_cp * dv * ((1.0 - s1c) * (1.0 - s1r)))
-                    # location / log-scale grads via row and column sigmoids
-                    M1 = dv * (s1r * left - (1.0 - s1r) * right)
-                    M2 = dv * (s1c * left - (1.0 - s1c) * right)
-                    a1 = jnp.sum(M1, axis=2, keepdims=True)  # (C, rows, 1)
-                    a2 = jnp.sum(M2, axis=1, keepdims=True)  # (C, 1, cols)
-                    spc = s1c * (1.0 - s1c)
-                    spr = s1r * (1.0 - s1r)
-                    g0a = g0a + (
-                        jnp.sum(a1 * spc * (-inv_s), axis=1, keepdims=True)
-                        + jnp.sum(a2 * spr * (-inv_s), axis=2, keepdims=True))
-                    g1a = g1a + (
-                        jnp.sum(a1 * spc * (-zc), axis=1, keepdims=True)
-                        + jnp.sum(a2 * spr * (-zr), axis=2, keepdims=True))
-                dp[3 * i] = dp[3 * i] + jnp.where(m(_M_CP), g0a, z11)
-                dp[3 * i + 1] = dp[3 * i + 1] + jnp.where(m(_M_CP), g1a, z11)
-
+        _node_bwd_body(i, flags_ref, info_ref, regs, vals, dvals, dp,
+                       N, ablate)
         return carry
 
     jax.lax.fori_loop(0, N, bwd_body, 0)
