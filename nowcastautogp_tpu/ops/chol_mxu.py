@@ -40,7 +40,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["tri_inv_fused", "mxu_supported"]
+__all__ = ["tri_inv_fused", "tri_inv_body", "mxu_supported"]
 
 _B = 32                       # panel width (capacities are 32-granule)
 _MAX_N = 512                  # single-plane region, matching megacov's
@@ -140,18 +140,21 @@ def _small_trtri(Lb):
     return jax.lax.fori_loop(0, b, body, jnp.zeros_like(Lb))
 
 
-def _tri_inv_kernel(A_ref, X_ref, L_ref, R_ref, D_ref):
-    """X = L^{-1} with A = L L^T for one chunk of C particles, all in VMEM.
+def tri_inv_body(L_ref, X_ref, R_ref, D_ref):
+    """In-place X = L^{-1} with L L^T = A for one chunk, all refs VMEM.
 
-    L_ref/R_ref: (C, n, n) scratch (factor in progress / running trtri RHS);
-    D_ref: (C, n, _B) scratch caching the per-panel diagonal-block inverses.
+    ``L_ref`` (C, n, n) must hold A on entry and is destroyed (holds the
+    Cholesky factor on exit); ``X_ref`` receives L^{-1}; ``R_ref`` (C, n, n)
+    and ``D_ref`` (C, n, _B) are scratch.  Shared between the standalone
+    ``tri_inv_fused`` kernel and the fused LML value+grad kernel
+    (``ops/pallas_megalml.py``), which runs it between the covariance
+    assembly and the analytic-gradient node walk.
     """
-    C, n, _ = A_ref.shape
+    C, n, _ = L_ref.shape
     b = _B
     nb = n // b
 
     # ---- phase 1: blocked right-looking Cholesky; panel updates on MXU
-    L_ref[:, :, :] = A_ref[:, :, :]
     for k in range(nb):
         s = k * b
         Lb = _diag_chol(L_ref[:, s:s + b, s:s + b])
@@ -182,6 +185,13 @@ def _tri_inv_kernel(A_ref, X_ref, L_ref, R_ref, D_ref):
             t = s + b
             R_ref[:, t:, :] = R_ref[:, t:, :] - _bdot(
                 L_ref[:, t:, s:s + b], Xrow)
+
+
+def _tri_inv_kernel(A_ref, X_ref, L_ref, R_ref, D_ref):
+    """Standalone-kernel wrapper: copy A into the in-place scratch, run
+    the shared factorization + inverse body."""
+    L_ref[:, :, :] = A_ref[:, :, :]
+    tri_inv_body(L_ref, X_ref, R_ref, D_ref)
 
 
 @functools.partial(jax.jit, static_argnames=())

@@ -21,7 +21,7 @@ from .kernels import cov_fn as eval_cov
 
 __all__ = [
     "masked_kernel_matrix", "gp_lml", "gp_lml_batch", "gp_lml_batched",
-    "set_lml_backend", "gp_predict", "gp_predict_batch",
+    "set_lml_backend", "set_megalml", "gp_predict", "gp_predict_batch",
     "sampling_cholesky", "LOG_2PI",
     "DEFAULT_JITTER",
 ]
@@ -95,6 +95,21 @@ def _env_choice(var: str, default: str, allowed: tuple) -> str:
 
 _LML_BACKEND = _env_choice(
     "NGP_LML_BACKEND", "auto", ("auto", "mega", "pallas", "jnp"))
+
+# The fused LML value+grad kernel (ops/pallas_megalml.py): under the "mega"
+# backend, gradient contexts run ONE Pallas program per evaluation (cov walk
+# + MXU Cholesky + analytic dK + backward walk, all VMEM-resident) instead
+# of the composed megacov-fwd / XLA-chol / megacov-bwd pipeline whose
+# backward re-runs the whole forward walk.  "off" restores the composed
+# path (A/B + debugging knob); value-only calls are unaffected either way.
+_MEGALML = _env_choice("NGP_MEGALML", "auto", ("auto", "off"))
+
+
+def set_megalml(name: str) -> None:
+    """Enable ("auto") or disable ("off") the fused LML value+grad kernel."""
+    global _MEGALML
+    assert name in ("auto", "off"), name
+    _MEGALML = name
 
 
 def set_lml_backend(name: str) -> None:
@@ -295,6 +310,27 @@ def _lml_from_K(K, log_noise, y, mask, jitter):
     return jnp.where(jnp.isfinite(lml), lml, -1e10)
 
 
+def _lml_mega_fused(node_types, params, log_noise, x, y, mask, jitter):
+    """Masked LML through the fused value+grad kernel's custom VJP.
+
+    The diag augmentation and ``y * mask`` are built here in XLA so their
+    chain rules (``d diag / d log_noise = mask * noise``, ``d ym / d y =
+    mask``) compose with the kernel's ``gdiag``/``-alpha`` residuals —
+    ``log_noise`` gradients need no kernel-side special casing.  Value-only
+    callers hit the custom VJP's primal (the composed megacov + batched
+    Cholesky path) and never pay for gradients.
+    """
+    from .pallas_megalml import lml_core_fused
+
+    noise = jnp.exp(log_noise)
+    diagv = mask * (noise[:, None] + jitter) + (1.0 - mask)
+    ym = y * mask
+    core = lml_core_fused(node_types, params, diagv, mask, x, ym)
+    n_active = jnp.sum(mask, axis=-1)
+    lml = core - 0.5 * n_active * LOG_2PI
+    return jnp.where(jnp.isfinite(lml), lml, -1e10)
+
+
 def gp_lml_batched(node_types, params, log_noise, x, y, mask,
                    jitter=DEFAULT_JITTER, backend=None):
     """Natively batched masked LML: every argument carries the particle axis.
@@ -312,6 +348,12 @@ def gp_lml_batched(node_types, params, log_noise, x, y, mask,
         if not megacov_supported(node_types.shape[-1], x.shape[-1]):
             backend = "jnp"
     if backend == "mega":
+        from .pallas_megalml import megalml_supported
+
+        if _MEGALML != "off" and megalml_supported(
+                node_types.shape[-1], x.shape[-1]):
+            return _lml_mega_fused(
+                node_types, params, log_noise, x, y, mask, jitter)
         from .pallas_megacov import cov_batched_fused
 
         K = cov_batched_fused(node_types, params, x)

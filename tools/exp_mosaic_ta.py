@@ -72,7 +72,8 @@ def main():
         )
 
     _probe("transpose_a matvec (C,k,n)T@(C,k,1)", k_ta_vec, (X, z),
-           (C, n, 1), lambda x, v: np.einsum("cki,ck1->ci1", x, v))
+           (C, n, 1),
+           lambda x, v: np.einsum("cki,ckj->cij", x, v))
 
     def k_swap(x_ref, o_ref):
         o_ref[:, :, :] = jnp.swapaxes(x_ref[:, :, :], 1, 2)
