@@ -127,19 +127,42 @@ def main():
     print("== lane totals ==")
     for (p, t), dur in lane_tot.most_common(12):
         print(f"{dur/1e3:9.2f} ms   {p} / {t}")
-    # leaf ops on the XLA Ops lanes only
+    # EXCLUSIVE leaf-op times on the XLA Ops lanes.  Control-flow ops
+    # (`while`, `conditional`, fusions containing calls) are emitted as
+    # spans that COVER their body ops on the same lane, and nested scans
+    # stack several levels deep — summing raw durations double-counts
+    # every level (this misled round 3: "megacov = 65% of the sweep" was
+    # an artifact; the chained-scan A/B showed the XLA Cholesky latency
+    # dominated).  Per lane, sort spans by (start, -dur) and subtract each
+    # span's direct-children total from its own duration.
     by_name = collections.Counter()
-    dur_total = 0.0
+    per_lane = collections.defaultdict(list)
     for e in events:
         if e.get("ph") != "X":
             continue
         tname = tid_names.get((e.get("pid"), e.get("tid")), "")
         if "XLA Ops" not in tname:
             continue
-        base = e.get("name", "?").split(".")[0].split("(")[0]
-        by_name[base] += e.get("dur", 0)
-        dur_total += e.get("dur", 0)
-    print(f"== XLA Ops leaf total: {dur_total/1e3:.1f} ms ==")
+        per_lane[(e["pid"], e["tid"])].append(e)
+    dur_total = 0.0
+    for lane_events in per_lane.values():
+        lane_events.sort(key=lambda e: (e.get("ts", 0), -e.get("dur", 0)))
+        stack = []  # (end_ts, child_total_accumulator index into rec)
+        rec = []    # [name, dur, child_total]
+        for e in lane_events:
+            ts, dur = e.get("ts", 0), e.get("dur", 0)
+            base = e.get("name", "?").split(".")[0].split("(")[0]
+            while stack and ts >= stack[-1][0]:
+                stack.pop()
+            if stack:
+                rec[stack[-1][1]][2] += dur
+            rec.append([base, dur, 0.0])
+            stack.append((ts + dur, len(rec) - 1))
+        for base, dur, child in rec:
+            excl = max(dur - child, 0.0)
+            by_name[base] += excl
+            dur_total += excl
+    print(f"== XLA Ops exclusive total: {dur_total/1e3:.1f} ms ==")
     for name, dur in by_name.most_common(30):
         print(f"{dur/1e3:9.2f} ms  {100*dur/max(dur_total,1):5.1f}%  {name}")
 
