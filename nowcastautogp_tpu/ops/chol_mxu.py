@@ -43,7 +43,10 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["tri_inv_fused", "tri_inv_body", "mxu_supported"]
 
 _B = 32                       # panel width (capacities are 32-granule)
-_MAX_N = 512                  # single-plane region, matching megacov's
+# One chunk's A/X/R buffers are 3 n^2 f32 per lane — 12.6 MB at n=1024, so
+# daily-cadence factorizations still fit VMEM at C>=2; beyond this the
+# XLA expander (which never materializes the whole batch in VMEM) remains.
+_MAX_N = 1024
 _VMEM_LIMIT = 100 * 1024 * 1024
 _PREC_HI = jax.lax.Precision.HIGHEST
 

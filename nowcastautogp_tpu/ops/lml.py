@@ -288,6 +288,16 @@ def _lml_from_K(K, log_noise, y, mask, jitter):
 
         if not mxu_supported(n):
             impl = "inv"
+    if impl == "inv" and _CHOL_IMPL == "auto" and n > 512:
+        # daily-cadence region: the XLA expander's column-loop latency
+        # scales with n while the blocked MXU kernel's panels stay MXU
+        # dots.  Measured composed with the tiled fused covariance at
+        # (200, 640) on the v5e: LML fwd 67.4 -> 55.2 ms, vgrad
+        # 100.1 -> 88.0 ms (tools/microbench_megalml.py --caps 640).
+        from .chol_mxu import mxu_supported
+
+        if mxu_supported(n):
+            impl = "mxu"
     n_active = jnp.sum(mask, axis=-1)
     if impl in ("inv", "panel", "mxu"):
         core_fn = {"panel": _lml_core_panel, "inv": _lml_core_inv,

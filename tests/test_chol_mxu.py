@@ -63,8 +63,16 @@ class TestTriInvFused:
         with pytest.raises(ValueError, match="tri_inv_fused"):
             tri_inv_fused(jnp.eye(40)[None])
         assert not mxu_supported(40)
-        assert not mxu_supported(1024)
+        assert not mxu_supported(1056)
         assert mxu_supported(512)
+        assert mxu_supported(1024)  # daily-cadence region (auto > 512)
+
+    def test_daily_cadence_n640(self):
+        A = _spd(2, 640, seed=11)
+        X = np.asarray(tri_inv_fused(jnp.asarray(A)))
+        L = np.linalg.cholesky(A[1])
+        np.testing.assert_allclose(X[1], np.linalg.inv(L),
+                                   rtol=4e-3, atol=4e-4)
 
     def test_non_psd_propagates_nan_within_lane(self):
         A = _spd(3, 32, seed=7)
