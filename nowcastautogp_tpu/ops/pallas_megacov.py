@@ -109,7 +109,9 @@ def _chunk_for(n: int, n_nodes: int, n_scratch: int) -> int:
         tr = tc = _TILE
         cands = (16, 8, 4, 2, 1)
     else:
-        tr, tc = n, int(math.ceil(n / 128)) * 128
+        n_pad = int(math.ceil(n / 128)) * 128
+        # compacted walk-scratch footprint (see _dest_layout)
+        tr, tc, _ = _dest_layout(n, _make_regions(n, n_pad))
         # the measured-preferred C=2 still has to clear the VMEM budget:
         # at n=416 the backward's two (31, 2, 416, 512) scratch buffers
         # are 105.7 MB — 768 KB over the scoped limit (observed as a
@@ -150,13 +152,38 @@ def _make_regions(n: int, n_pad: int):
                  for j in range(n_pad // 128))
 
 
-def _region_planes(xc_ref, xr_ref, regions):
-    """Per-region row/col slices and distance planes.
+def _dest_layout(n: int, regions):
+    """Compacted walk-scratch layout for the symmetric-panel regions.
 
-    Returns ``[(rs, cs, xc_s, xr_s, r, r2, log_r), ...]`` where ``rs``/
-    ``cs`` are the static row/col slices of the full (C, n, n_pad) plane
-    the region covers.  Scratch values outside the union of regions are
-    never written nor read.
+    The (N, C, n, n_pad) walk scratches wasted the never-written upper
+    regions AND the lane padding (at n=160 only ~60% of a 160x256 plane
+    is live).  Stacking the regions vertically gives a dense
+    (rows_total, width) plane: region ``j`` (plane rows [r0, n) x cols
+    [c0, c1)) lands at compact rows [off_j, off_j + n - r0) x cols
+    [0, c1 - c0).  Multi-region panels are all 128 lanes wide — exactly
+    one tile — and every row count is a 32 multiple, so the compact
+    plane is tile-aligned by construction.  Returns
+    ``(rows_total, width, [(dest_row_slice, dest_col_slice), ...])``.
+    """
+    dests, off, width = [], 0, 0
+    for (r0, c0, c1) in regions:
+        rows_j, width_j = n - r0, c1 - c0
+        dests.append((slice(off, off + rows_j), slice(0, width_j)))
+        off += rows_j
+        width = max(width, width_j)
+    return off, width, dests
+
+
+def _region_planes(xc_ref, xr_ref, regions):
+    """Per-region walk-scratch slices and distance planes.
+
+    Returns ``[(drs, dcs, xc_s, xr_s, r, r2, log_r), ...]`` where
+    ``drs``/``dcs`` index the COMPACTED (C, rows_total, width) walk
+    scratch (``_dest_layout``); the x planes are the region's true
+    coordinates.  Scratch values outside the regions are never written
+    nor read; callers needing full-plane coordinates (K output stores,
+    dK loads, the fused kernel's A assembly) map region j's plane block
+    (rows [r0, n) x cols [c0, c1)) to dest block j themselves.
 
     The slices are taken on the operand REFS, not on loaded values:
     windowed ref loads give canonical (offset-0) vector layouts, whereas
@@ -165,13 +192,14 @@ def _region_planes(xc_ref, xr_ref, regions):
     ``{*,128}``-offset (C, 1, 128) slice — observed on the v5e at n=160).
     """
     n = xc_ref.shape[1]
+    _, _, dests = _dest_layout(n, regions)
     regs = []
-    for (r0, c0, c1) in regions:
+    for (r0, c0, c1), (drs, dcs) in zip(regions, dests):
         xc_s = xc_ref[:, r0:n, :]                 # (C, n - r0, 1)
         xr_s = xr_ref[:, :, c0:c1]                # (C, 1, c1 - c0)
         d = xc_s - xr_s
         r = jnp.abs(d)
-        regs.append((slice(r0, None), slice(c0, c1), xc_s, xr_s,
+        regs.append((drs, dcs, xc_s, xr_s,
                      r, d * d, jnp.log(jnp.maximum(r, 1e-30))))
     return regs
 
@@ -270,8 +298,10 @@ def _cov_fwd_kernel(flags_ref, info_ref, xc_ref, xr_ref, out_ref, vals, *,
         return carry
 
     jax.lax.fori_loop(0, N, body, 0)
-    for (rs, cs, *_rest) in regs:
-        out_ref[:, rs, cs] = vals[0, :, rs, cs]
+    n = xc_ref.shape[1]
+    _, _, dests = _dest_layout(n, regions)
+    for (r0, c0, c1), (drs, dcs) in zip(regions, dests):
+        out_ref[:, r0:n, c0:c1] = vals[0, :, drs, dcs]
 
 
 def _node_bwd_body(i, flags_ref, info_ref, regs, vals, dvals, dp, N,
@@ -452,8 +482,10 @@ def _cov_bwd_kernel(flags_ref, info_ref, xc_ref, xr_ref, dk_ref,
 
     jax.lax.fori_loop(0, N, fwd_body, 0)
 
-    for (rs, cs, *_rest) in regs:
-        dvals[0, :, rs, cs] = dk_ref[:, rs, cs]
+    n = xc_ref.shape[1]
+    _, _, dests = _dest_layout(n, regions)
+    for (r0, c0, c1), (drs, dcs) in zip(regions, dests):
+        dvals[0, :, drs, dcs] = dk_ref[:, r0:n, c0:c1]
 
     def bwd_body(i, carry):
         _node_bwd_body(i, flags_ref, info_ref, regs, vals, dvals, dp,
@@ -696,6 +728,7 @@ def _fwd_call_impl(types, params, x, interpret):
         )(flags, info, xc, xr)
         return out[:P, :n, :n]
     regions = _make_regions(n, n_pad)
+    rows_c, width_c, _ = _dest_layout(n, regions)
     fs, infs, xcs, xrs, ks = _specs(C, N, n, interpret)
     out = pl.pallas_call(
         functools.partial(_cov_fwd_kernel, N=N, regions=regions),
@@ -703,7 +736,7 @@ def _fwd_call_impl(types, params, x, interpret):
         in_specs=[fs, infs, xcs, xrs],
         out_specs=ks,
         out_shape=jax.ShapeDtypeStruct((Pp, n, n_pad), jnp.float32),
-        scratch_shapes=_scratch([(N, C, n, n_pad)], interpret),
+        scratch_shapes=_scratch([(N, C, rows_c, width_c)], interpret),
         interpret=interpret,
         **_compiler_kwargs(interpret),
     )(flags, info, xc, xr)
@@ -751,6 +784,7 @@ def _bwd_call_impl(types, params, x, dk, interpret):
         dparams = dparams_l.reshape(G, N, 3, C).transpose(0, 3, 1, 2)
         return dparams.reshape(Pp, N, 3)[:P]
     regions = _make_regions(n, n_pad)
+    rows_c, width_c, _ = _dest_layout(n, regions)
     if len(regions) > 1:
         # fold the cotangent onto the computed (lower-panel) regions:
         # sum_ij W_ij dK_ij/dp == sum_ij W''_ij dK_ij/dp with W'' =
@@ -768,8 +802,8 @@ def _bwd_call_impl(types, params, x, dk, interpret):
         in_specs=[fs, infs, xcs, xrs, ks],
         out_specs=dp_spec,
         out_shape=jax.ShapeDtypeStruct((G, N * 3, C, 1, 1), jnp.float32),
-        scratch_shapes=_scratch([(N, C, n, n_pad), (N, C, n, n_pad)],
-                                interpret),
+        scratch_shapes=_scratch(
+            [(N, C, rows_c, width_c), (N, C, rows_c, width_c)], interpret),
         interpret=interpret,
         **_compiler_kwargs(interpret),
     )(flags, info, xc, xr, dk)

@@ -67,21 +67,26 @@ def megalml_supported(n_nodes: int, n: int) -> bool:
 import os as _os
 
 _CHUNK_OVERRIDE = int(_os.environ.get("NGP_MEGALML_CHUNK", "0"))
+# timing-only phase ablation (results are numerically invalid):
+#   "nochol" replaces the factorization with a copy; "nobwd" skips the
+#   cotangent seed + backward walk.  For kernel phase attribution.
+_ABLATE = _os.environ.get("NGP_MEGALML_ABLATE", "")
 
 
 def _chunk_for_lml(n: int, n_nodes: int) -> int:
     """Particles per grid step for the fused kernel.
 
-    Larger chunks than the cov-only kernel's measured C=2 pay off here:
-    the in-kernel blocked Cholesky's serial 32-step diagonal fori loops
-    amortize over the chunk lanes, so the policy picks the largest C whose
-    two (N, C, n, n_pad) walk scratches + three (C, n, n) chol buffers fit
-    the VMEM budget (v5e sweep in PLAN.md round-3).
+    The kernel's phase ablation (PLAN.md round-3) puts ~2/3 of its time
+    in the blocked Cholesky's serial 32-step diagonal fori loops, whose
+    latency amortizes over the chunk lanes — so the policy picks the
+    largest C whose two compacted walk scratches (``_dest_layout``) +
+    three (C, n, n) chol buffers fit the VMEM budget.
     """
     if _CHUNK_OVERRIDE:
         return _CHUNK_OVERRIDE
     n_pad = int(math.ceil(n / 128)) * 128
-    per = (2 * n_nodes + 3) * n * n_pad * 4
+    rows_c, width_c, _ = mega._dest_layout(n, mega._make_regions(n, n_pad))
+    per = 2 * n_nodes * rows_c * width_c * 4 + 3 * n * n_pad * 4
     for c in (16, 8, 4, 2, 1):
         if c * per <= mega._VMEM_LIMIT - 24 * 1024 * 1024:
             return c
@@ -116,6 +121,7 @@ def _megalml_kernel(
     """
     C = A.shape[0]
     regs = mega._region_planes(xc_ref, xr_ref, regions)
+    _, _, dests = mega._dest_layout(n, regions)
 
     # ---- 1. forward node walk (bottom-up), vals[0] = K on the regions
     def fwd_body(it, carry):
@@ -125,12 +131,12 @@ def _megalml_kernel(
     jax.lax.fori_loop(0, N, fwd_body, 0)
 
     # ---- 2. assemble the full masked A in VMEM (mirror the lower panels)
-    for (r0, c0, c1) in regions:
+    for (r0, c0, c1), (drs, _dcs) in zip(regions, dests):
         cm = min(c1, n)
         if cm <= c0:
             continue
         mm_blk = maskc_ref[:, r0:n, :] * maskr_ref[:, :, c0:cm]
-        A[:, r0:n, c0:cm] = vals[0, :, r0:n, c0:cm] * mm_blk
+        A[:, r0:n, c0:cm] = vals[0, :, drs, 0:cm - c0] * mm_blk
         if r0 > 0:
             # upper block = transpose of the already-masked panel below
             A[:, 0:r0, c0:cm] = jnp.swapaxes(A[:, c0:cm, 0:r0], 1, 2)
@@ -141,7 +147,10 @@ def _megalml_kernel(
     A[:, :, :] = A[:, :, :] + diag_ref[:, :, :] * eye
 
     # ---- 3. in-place blocked Cholesky + triangular inverse: X = L^{-1}
-    tri_inv_body(A, X, R, D)
+    if _ABLATE == "nochol":
+        X[:, :, :] = A[:, :, :]
+    else:
+        tri_inv_body(A, X, R, D)
 
     # ---- 4. LML pieces (masked rows factor to identity: log diag = 0)
     Xv = X[:, :, :]
@@ -162,12 +171,16 @@ def _megalml_kernel(
     R[:, :, :] = 0.5 * (_bdot(alpha, alpha, transpose_b=True) - Ainv)
     gdiag_ref[:, :, :] = jnp.sum(R[:, :, :] * eye, axis=2, keepdims=True)
 
+    if _ABLATE == "nobwd":
+        dp_ref[0] = jnp.zeros_like(info_ref[0, 0])
+        return
+
     # ---- 6. seed dvals[0]: masked cotangent folded onto the computed
     # regions (dK/dp is symmetric, so W'' = tril(W + W^T, -1) + diag W;
     # with W itself symmetric the fold factor is 2 below / 1 on / 0 above
     # the diagonal).  Lane-padding columns beyond n are zeroed.
     single = len(regions) == 1
-    for (r0, c0, c1) in regions:
+    for (r0, c0, c1), (drs, _dcs) in zip(regions, dests):
         cm = min(c1, n)
         if cm > c0:
             rows_g = r0 + jax.lax.broadcasted_iota(
@@ -181,9 +194,9 @@ def _megalml_kernel(
                     rows_g > cols_g, 2.0,
                     jnp.where(rows_g == cols_g, 1.0, 0.0))
             mm_blk = maskc_ref[:, r0:n, :] * maskr_ref[:, :, c0:cm]
-            dvals[0, :, r0:n, c0:cm] = R[:, r0:n, c0:cm] * fold * mm_blk
+            dvals[0, :, drs, 0:cm - c0] = R[:, r0:n, c0:cm] * fold * mm_blk
         if c1 > cm:
-            dvals[0, :, r0:n, cm:c1] = jnp.zeros(
+            dvals[0, :, drs, cm - c0:c1 - c0] = jnp.zeros(
                 (C, n - r0, c1 - cm), jnp.float32)
 
     # ---- 7. backward node walk (top-down) -> parameter grads
@@ -227,6 +240,7 @@ def _vag_call_impl(types, params, diagv, mask, x, ym, interpret):
     ymc = ym[:, :, None]                                       # (Pp, n, 1)
 
     regions = mega._make_regions(n, n_pad)
+    rows_c, width_c, _ = mega._dest_layout(n, regions)
     fs, infs, xcs, xrs, _ks = mega._specs(C, N, n, interpret)
     col_spec = pl.BlockSpec((C, n, 1), lambda g: (g, 0, 0))
     maskr_spec = pl.BlockSpec((C, 1, n_pad), lambda g: (g, 0, 0))
@@ -246,8 +260,8 @@ def _vag_call_impl(types, params, diagv, mask, x, ym, interpret):
             jax.ShapeDtypeStruct((Pp, n, 1), jnp.float32),
         ],
         scratch_shapes=mega._scratch(
-            [(N, C, n, n_pad), (N, C, n, n_pad), (C, n, n), (C, n, n),
-             (C, n, n), (C, n, _CHOL_B)], interpret),
+            [(N, C, rows_c, width_c), (N, C, rows_c, width_c), (C, n, n),
+             (C, n, n), (C, n, n), (C, n, _CHOL_B)], interpret),
         interpret=interpret,
         **mega._compiler_kwargs(interpret),
     )(flags, info, xc, xr, diagc, maskc, maskr, ymc)

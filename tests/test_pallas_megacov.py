@@ -165,13 +165,29 @@ class TestForwardParity:
                     if mega._tiled(n):
                         tr = tc = mega._TILE
                     else:
-                        tr = n
-                        tc = int(_math.ceil(n / 128)) * 128
+                        n_pad = int(_math.ceil(n / 128)) * 128
+                        tr, tc, _ = mega._dest_layout(
+                            n, mega._make_regions(n, n_pad))
                     assert (c == 1
                             or n_scratch * c * n_nodes * tr * tc * 4
                             <= budget), (n, n_nodes, n_scratch, c)
-        assert mega._chunk_for(416, 31, 2) == 1
+        # compacted scratches (region stack x 128 lanes) admit C=2 at the
+        # n=416 size whose OLD rectangular footprint OOMed
+        assert mega._chunk_for(416, 31, 2) == 2
         assert mega._chunk_for(160, 31, 2) == 2
+
+    def test_dest_layout_compacts_panels(self):
+        # n=160: regions (160x128) + (32x128) stack into (192, 128)
+        rows, width, dests = mega._dest_layout(
+            160, mega._make_regions(160, 256))
+        assert (rows, width) == (192, 128)
+        assert dests[0] == (slice(0, 160), slice(0, 128))
+        assert dests[1] == (slice(160, 192), slice(0, 128))
+        # single-region (n <= 128): dest == plane
+        rows, width, dests = mega._dest_layout(
+            96, mega._make_regions(96, 128))
+        assert (rows, width) == (96, 128)
+        assert dests == [(slice(0, 96), slice(0, 128))]
 
 
 class TestTiledPlane:
