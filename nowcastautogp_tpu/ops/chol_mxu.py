@@ -202,7 +202,7 @@ def tri_inv_fused(A):
     """Batched X = L^{-1} with L L^T = A, one fused Pallas program.
 
     A: (P, n, n) SPD with the masked-identity contract of ``ops/lml.py``;
-    n must be a multiple of 32 and <= 512 (``mxu_supported``).
+    n must be a multiple of 32 and <= 1024 (``mxu_supported``).
     """
     P, n, _ = A.shape
     if not mxu_supported(n):

@@ -272,14 +272,15 @@ _lml_core_panel = _make_inv_core(_ainv_logdet_panel)
 _lml_core_mxu = _make_inv_core(_ainv_logdet_mxu)
 
 
-def _lml_from_K(K, log_noise, y, mask, jitter):
-    """Batched masked LML given raw covariance K (P, n, n)."""
-    mm = mask[:, :, None] * mask[:, None, :]
-    noise = jnp.exp(log_noise)
-    diag = mask * (noise[:, None] + jitter) + (1.0 - mask)
-    n = K.shape[-1]
-    A = K * mm + diag[:, :, None] * jnp.eye(n, dtype=K.dtype)
-    ym = y * mask
+def lml_core_from_A(A, ym):
+    """Batched ``-0.5 (ym^T A^{-1} ym + logdet A)`` honoring the
+    Cholesky-impl knob (``set_chol_impl`` / ``NGP_CHOL_IMPL``).
+
+    Shared by ``_lml_from_K`` and the fused kernel's value-only primal
+    (``ops/pallas_megalml.py:_core_value``), so the knob selects the same
+    core on every value path.
+    """
+    n = A.shape[-1]
     impl = _resolve_chol_impl()
     if impl == "panel" and n % 32 != 0:
         impl = "inv"
@@ -298,13 +299,10 @@ def _lml_from_K(K, log_noise, y, mask, jitter):
 
         if mxu_supported(n):
             impl = "mxu"
-    n_active = jnp.sum(mask, axis=-1)
     if impl in ("inv", "panel", "mxu"):
         core_fn = {"panel": _lml_core_panel, "inv": _lml_core_inv,
                    "mxu": _lml_core_mxu}[impl]
-        core = core_fn(A, ym)
-        lml = core - 0.5 * n_active * LOG_2PI
-        return jnp.where(jnp.isfinite(lml), lml, -1e10)
+        return core_fn(A, ym)
     if impl == "static" and n % 8 == 0:
         from .chol_static import cho_solve_static, cholesky_static
 
@@ -316,7 +314,19 @@ def _lml_from_K(K, log_noise, y, mask, jitter):
     quad = jnp.einsum("pn,pn->p", ym, alpha)
     logdet = 2.0 * jnp.sum(
         jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
-    lml = -0.5 * (quad + logdet + n_active * LOG_2PI)
+    return -0.5 * (quad + logdet)
+
+
+def _lml_from_K(K, log_noise, y, mask, jitter):
+    """Batched masked LML given raw covariance K (P, n, n)."""
+    mm = mask[:, :, None] * mask[:, None, :]
+    noise = jnp.exp(log_noise)
+    diag = mask * (noise[:, None] + jitter) + (1.0 - mask)
+    n = K.shape[-1]
+    A = K * mm + diag[:, :, None] * jnp.eye(n, dtype=K.dtype)
+    ym = y * mask
+    n_active = jnp.sum(mask, axis=-1)
+    lml = lml_core_from_A(A, ym) - 0.5 * n_active * LOG_2PI
     return jnp.where(jnp.isfinite(lml), lml, -1e10)
 
 

@@ -161,8 +161,9 @@ def _dest_layout(n: int, regions):
     (rows_total, width) plane: region ``j`` (plane rows [r0, n) x cols
     [c0, c1)) lands at compact rows [off_j, off_j + n - r0) x cols
     [0, c1 - c0).  Multi-region panels are all 128 lanes wide — exactly
-    one tile — and every row count is a 32 multiple, so the compact
-    plane is tile-aligned by construction.  Returns
+    one tile — and every row count inherits n % 8 == 0
+    (``megacov_supported``), keeping compact offsets aligned to the
+    (8, 128) f32 sublane tile.  Returns
     ``(rows_total, width, [(dest_row_slice, dest_col_slice), ...])``.
     """
     dests, off, width = [], 0, 0

@@ -280,6 +280,16 @@ def lml_core_fused(types, params, diagv, mask, x, ym):
     single fused value+gradient kernel and the backward is a scalar rescale
     of its residuals.  Gradients flow to ``params``, ``diagv`` (the caller
     chains d diag / d log_noise), and ``ym``.
+
+    The primal and the forward rule are different implementations of the
+    same function, so a value computed outside differentiation can differ
+    from one computed inside by f32 roundoff (~1e-3 relative on the LML),
+    and a borderline non-SPD particle can in principle hit the caller's
+    ``-1e10`` guard on one path only.  Engine weight updates are protected
+    from that class by the broken-particle sentinel guard (delta clamped
+    when EITHER side is at the sentinel), and such particles are rejected
+    garbage either way; callers needing bit-identical value/grad floats
+    should use ``NGP_MEGALML=off``.
     """
     return _core_value(types, params, diagv, mask, x, ym)
 
@@ -289,9 +299,9 @@ def _core_value(types, params, diagv, mask, x, ym):
     mm = mask[:, :, None] * mask[:, None, :]
     n = K.shape[-1]
     A = K * mm + diagv[:, :, None] * jnp.eye(n, dtype=K.dtype)
-    from .lml import _lml_core_inv
+    from .lml import lml_core_from_A
 
-    return _lml_core_inv(A, ym)
+    return lml_core_from_A(A, ym)
 
 
 def _vjp_fwd(types, params, diagv, mask, x, ym):
