@@ -199,6 +199,18 @@ class TestBrokenParticle:
 
 
 class TestValueOnlyPath:
+    def test_chol_impl_knob_reaches_mega_value_path(self):
+        """set_chol_impl must select the core on the 'mega' backend's
+        value-only primal too (review finding: it was hardcoded to inv)."""
+        args = _population(4, 64, seed=21)
+        ref = _lml("jnp", *args)
+        try:
+            lml_mod.set_chol_impl("mxu")
+            got = _lml("mega", *args)
+        finally:
+            lml_mod.set_chol_impl("auto")
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-3)
+
     def test_primal_matches_fused_forward(self):
         """The custom-VJP primal (value path) and the fused kernel's value
         must agree — value_and_grad's value is the fwd rule's output."""
