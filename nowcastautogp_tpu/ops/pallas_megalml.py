@@ -55,13 +55,18 @@ _MAX_LML_N = 512
 
 
 def megalml_supported(n_nodes: int, n: int) -> bool:
-    """Static-shape support: untiled covariance plane + 32-granule chol."""
-    return (
+    """Static-shape support: untiled covariance plane + 32-granule chol,
+    and the C=1 scratch set must clear the VMEM budget (deep heaps at
+    large n — e.g. 63 slots x n=512 — fall back to the composed path)."""
+    if not (
         n_nodes <= 63
         and _CHOL_B <= n <= _MAX_LML_N
         and n % _CHOL_B == 0
         and not mega._tiled(n)
-    )
+    ):
+        return False
+    return _scratch_bytes_per_lane(n, n_nodes) <= (
+        mega._VMEM_LIMIT - 24 * 1024 * 1024)
 
 
 import os as _os
@@ -71,6 +76,13 @@ _CHUNK_OVERRIDE = int(_os.environ.get("NGP_MEGALML_CHUNK", "0"))
 #   "nochol" replaces the factorization with a copy; "nobwd" skips the
 #   cotangent seed + backward walk.  For kernel phase attribution.
 _ABLATE = _os.environ.get("NGP_MEGALML_ABLATE", "")
+
+
+def _scratch_bytes_per_lane(n: int, n_nodes: int) -> int:
+    """Two compacted walk scratches + three (n, n) chol buffers, per lane."""
+    n_pad = int(math.ceil(n / 128)) * 128
+    rows_c, width_c, _ = mega._dest_layout(n, mega._make_regions(n, n_pad))
+    return 2 * n_nodes * rows_c * width_c * 4 + 3 * n * n_pad * 4
 
 
 def _chunk_for_lml(n: int, n_nodes: int) -> int:
@@ -84,9 +96,7 @@ def _chunk_for_lml(n: int, n_nodes: int) -> int:
     """
     if _CHUNK_OVERRIDE:
         return _CHUNK_OVERRIDE
-    n_pad = int(math.ceil(n / 128)) * 128
-    rows_c, width_c, _ = mega._dest_layout(n, mega._make_regions(n, n_pad))
-    per = 2 * n_nodes * rows_c * width_c * 4 + 3 * n * n_pad * 4
+    per = _scratch_bytes_per_lane(n, n_nodes)
     for c in (16, 8, 4, 2, 1):
         if c * per <= mega._VMEM_LIMIT - 24 * 1024 * 1024:
             return c
