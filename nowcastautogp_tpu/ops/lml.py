@@ -276,9 +276,11 @@ def lml_core_from_A(A, ym):
     """Batched ``-0.5 (ym^T A^{-1} ym + logdet A)`` honoring the
     Cholesky-impl knob (``set_chol_impl`` / ``NGP_CHOL_IMPL``).
 
-    Shared by ``_lml_from_K`` and the fused kernel's value-only primal
-    (``ops/pallas_megalml.py:_core_value``), so the knob selects the same
-    core on every value path.
+    Used by ``_lml_from_K``, i.e. every composed-path LML (the "jnp"
+    fallbacks, unsupported shapes, and everything when ``NGP_MEGALML=off``).
+    When the fused value+grad kernel is active, its value-only primal runs
+    the kernel's own MXU factorization instead — the knob governs the
+    composed paths only (flip ``NGP_MEGALML=off`` to A/B cores everywhere).
     """
     n = A.shape[-1]
     impl = _resolve_chol_impl()

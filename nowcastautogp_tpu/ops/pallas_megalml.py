@@ -116,18 +116,15 @@ def _bdot_ta(a, b):
     )
 
 
-def _megalml_kernel(
-    flags_ref, info_ref, xc_ref, xr_ref, diag_ref, maskc_ref, maskr_ref,
-    ym_ref,
-    core_ref, dp_ref, gdiag_ref, alpha_ref,
-    vals, dvals, A, X, R, D,
-    *, N, n, regions,
-):
-    """One chunk of C particles: LML core value + all analytic gradients.
+def _fwd_steps(flags_ref, info_ref, xc_ref, xr_ref, diag_ref, maskc_ref,
+               maskr_ref, ym_ref, core_ref, vals, A, X, R, D, N, n, regions):
+    """Kernel steps 1-4, shared by the value+grad and value-only variants
+    (identical instruction sequence ⇒ bit-identical core values): forward
+    node walk, masked-A assembly with the symmetric-panel mirror, blocked
+    MXU Cholesky + triangular inverse, and the LML pieces.
 
-    Outputs: ``core`` (C, 1, 1) = -0.5 (quad + logdet); ``dp`` (N*3, C, 1, 1)
-    = d core / d params; ``gdiag`` (C, n, 1) = d core / d diag-augmentation;
-    ``alpha`` (C, n, 1) = A^{-1} ym (so d core / d ym = -alpha).
+    Writes ``core`` = -0.5 (quad + logdet); returns (regs, dests, eye,
+    Xv, alpha) for the gradient steps.
     """
     C = A.shape[0]
     regs = mega._region_planes(xc_ref, xr_ref, regions)
@@ -172,6 +169,36 @@ def _megalml_kernel(
     alpha = _bdot_ta(Xv, t)                                    # (C, n, 1)
     quad = jnp.sum(ym * alpha, axis=1, keepdims=True)          # (C, 1, 1)
     core_ref[:, :, :] = -0.5 * (quad + logdet)
+    return regs, dests, eye, Xv, alpha
+
+
+def _megalml_val_kernel(
+    flags_ref, info_ref, xc_ref, xr_ref, diag_ref, maskc_ref, maskr_ref,
+    ym_ref, core_ref, vals, A, X, R, D, *, N, n, regions,
+):
+    """Value-only variant: the same steps 1-4, no gradient work — used by
+    the custom_vjp primal so value and grad paths share one float path."""
+    _fwd_steps(flags_ref, info_ref, xc_ref, xr_ref, diag_ref, maskc_ref,
+               maskr_ref, ym_ref, core_ref, vals, A, X, R, D, N, n, regions)
+
+
+def _megalml_kernel(
+    flags_ref, info_ref, xc_ref, xr_ref, diag_ref, maskc_ref, maskr_ref,
+    ym_ref,
+    core_ref, dp_ref, gdiag_ref, alpha_ref,
+    vals, dvals, A, X, R, D,
+    *, N, n, regions,
+):
+    """One chunk of C particles: LML core value + all analytic gradients.
+
+    Outputs: ``core`` (C, 1, 1) = -0.5 (quad + logdet); ``dp`` (N*3, C, 1, 1)
+    = d core / d params; ``gdiag`` (C, n, 1) = d core / d diag-augmentation;
+    ``alpha`` (C, n, 1) = A^{-1} ym (so d core / d ym = -alpha).
+    """
+    C = A.shape[0]
+    regs, dests, eye, Xv, alpha = _fwd_steps(
+        flags_ref, info_ref, xc_ref, xr_ref, diag_ref, maskc_ref,
+        maskr_ref, ym_ref, core_ref, vals, A, X, R, D, N, n, regions)
     alpha_ref[:, :, :] = alpha
 
     # ---- 5. analytic cotangent dA = 0.5 (alpha alpha^T - A^{-1});
@@ -216,6 +243,70 @@ def _megalml_kernel(
         return carry
 
     jax.lax.fori_loop(0, N, bwd_body, 0)
+
+
+def _val_call(types, params, diagv, mask, x, ym, interpret):
+    if mega._SORT_CHUNKS and types.shape[0] > 1:
+        perm = mega._struct_perm(types)
+        inv = jnp.argsort(perm)
+        core = _val_call_impl(
+            types[perm], params[perm], diagv[perm], mask[perm], x[perm],
+            ym[perm], interpret)
+        return core[inv]
+    return _val_call_impl(types, params, diagv, mask, x, ym, interpret)
+
+
+def _val_call_impl(types, params, diagv, mask, x, ym, interpret):
+    from jax.experimental import pallas as pl
+
+    P, N = types.shape
+    n = x.shape[1]
+    # no dvals scratch: one walk set + chol buffers -> roughly 2x the
+    # lanes of the value+grad variant at the same budget
+    per = _scratch_bytes_per_lane(n, N) - N * _walk_bytes(n)
+    C = _CHUNK_OVERRIDE or next(
+        (c for c in (16, 8, 4, 2, 1)
+         if c * per <= mega._VMEM_LIMIT - 24 * 1024 * 1024), 1)
+    flags, info, xc, xr, G, Pp, n_pad = mega._pack(types, params, x, C)
+    if Pp != P:
+        pad = Pp - P
+        diagv = jnp.concatenate(
+            [diagv, jnp.ones((pad, n), diagv.dtype)], axis=0)
+        mask = jnp.concatenate(
+            [mask, jnp.zeros((pad, n), mask.dtype)], axis=0)
+        ym = jnp.concatenate([ym, jnp.zeros((pad, n), ym.dtype)], axis=0)
+    diagc = diagv[:, :, None]
+    maskc = mask[:, :, None]
+    maskr = jnp.pad(mask, ((0, 0), (0, n_pad - n)))[:, None, :]
+    ymc = ym[:, :, None]
+
+    regions = mega._make_regions(n, n_pad)
+    rows_c, width_c, _ = mega._dest_layout(n, regions)
+    fs, infs, xcs, xrs, _ks = mega._specs(C, N, n, interpret)
+    col_spec = pl.BlockSpec((C, n, 1), lambda g: (g, 0, 0))
+    maskr_spec = pl.BlockSpec((C, 1, n_pad), lambda g: (g, 0, 0))
+    core_spec = pl.BlockSpec((C, 1, 1), lambda g: (g, 0, 0))
+    core = pl.pallas_call(
+        functools.partial(_megalml_val_kernel, N=N, n=n, regions=regions),
+        grid=(G,),
+        in_specs=[fs, infs, xcs, xrs, col_spec, col_spec, maskr_spec,
+                  col_spec],
+        out_specs=core_spec,
+        out_shape=jax.ShapeDtypeStruct((Pp, 1, 1), jnp.float32),
+        scratch_shapes=mega._scratch(
+            [(N, C, rows_c, width_c), (C, n, n), (C, n, n), (C, n, n),
+             (C, n, _CHOL_B)], interpret),
+        interpret=interpret,
+        **mega._compiler_kwargs(interpret),
+    )(flags, info, xc, xr, diagc, maskc, maskr, ymc)
+    return core.reshape(Pp)[:P]
+
+
+def _walk_bytes(n: int) -> int:
+    """Bytes of ONE compacted walk plane per node per lane."""
+    n_pad = int(math.ceil(n / 128)) * 128
+    rows_c, width_c, _ = mega._dest_layout(n, mega._make_regions(n, n_pad))
+    return rows_c * width_c * 4
 
 
 def _vag_call(types, params, diagv, mask, x, ym, interpret):
@@ -285,33 +376,16 @@ def lml_core_fused(types, params, diagv, mask, x, ym):
     """Batched masked LML core ``-0.5 (ym^T A^{-1} ym + logdet A)`` where
     ``A = K(x, x) (mask mask^T) + diag(diagv)``.
 
-    The primal (value-only) path is the existing fused covariance + batched
-    Cholesky; under ``jax.grad``/``value_and_grad`` the forward rule runs the
-    single fused value+gradient kernel and the backward is a scalar rescale
-    of its residuals.  Gradients flow to ``params``, ``diagv`` (the caller
+    The primal (value-only) path runs the SAME kernel steps as the forward
+    rule minus the gradient work (``_fwd_steps`` is shared instruction for
+    instruction), so value and value+grad paths agree bit-exactly —
+    including non-SPD NaN propagation into the caller's ``-1e10`` guard.
+    Under ``jax.grad``/``value_and_grad`` the forward rule runs the single
+    fused value+gradient kernel and the backward is a scalar rescale of
+    its residuals.  Gradients flow to ``params``, ``diagv`` (the caller
     chains d diag / d log_noise), and ``ym``.
-
-    The primal and the forward rule are different implementations of the
-    same function, so a value computed outside differentiation can differ
-    from one computed inside by f32 roundoff (~1e-3 relative on the LML),
-    and a borderline non-SPD particle can in principle hit the caller's
-    ``-1e10`` guard on one path only.  Engine weight updates are protected
-    from that class by the broken-particle sentinel guard (delta clamped
-    when EITHER side is at the sentinel), and such particles are rejected
-    garbage either way; callers needing bit-identical value/grad floats
-    should use ``NGP_MEGALML=off``.
     """
-    return _core_value(types, params, diagv, mask, x, ym)
-
-
-def _core_value(types, params, diagv, mask, x, ym):
-    K = mega.cov_batched_fused(types, params, x)
-    mm = mask[:, :, None] * mask[:, None, :]
-    n = K.shape[-1]
-    A = K * mm + diagv[:, :, None] * jnp.eye(n, dtype=K.dtype)
-    from .lml import lml_core_from_A
-
-    return lml_core_from_A(A, ym)
+    return _val_call(types, params, diagv, mask, x, ym, mega._INTERPRET)
 
 
 def _vjp_fwd(types, params, diagv, mask, x, ym):

@@ -206,17 +206,37 @@ class TestBrokenParticle:
 
 
 class TestValueOnlyPath:
-    def test_chol_impl_knob_reaches_mega_value_path(self):
-        """set_chol_impl must select the core on the 'mega' backend's
-        value-only primal too (review finding: it was hardcoded to inv)."""
+    def test_chol_impl_knob_reaches_composed_mega_value_path(self):
+        """With the fused kernel off, set_chol_impl must select the core on
+        the 'mega' backend's composed value path (review finding: it was
+        hardcoded to inv); with it on, the fused value kernel must agree."""
         args = _population(4, 64, seed=21)
         ref = _lml("jnp", *args)
         try:
             lml_mod.set_chol_impl("mxu")
-            got = _lml("mega", *args)
+            lml_mod.set_megalml("off")
+            got_composed = _lml("mega", *args)
+            lml_mod.set_megalml("auto")
+            got_fused = _lml("mega", *args)
         finally:
             lml_mod.set_chol_impl("auto")
-        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-3)
+            lml_mod.set_megalml("auto")
+        np.testing.assert_allclose(got_composed, ref, rtol=2e-4, atol=2e-3)
+        np.testing.assert_allclose(got_fused, ref, rtol=2e-4, atol=2e-3)
+
+    def test_value_path_bit_identical_to_grad_path(self):
+        """The primal runs the same kernel steps as the forward rule, so
+        the value is bit-identical whether or not gradients are taken."""
+        types, params, log_noise, x, y, mask = _population(5, 96, seed=23)
+
+        def f(p):
+            return gp_lml_batched(
+                types, p, log_noise, x, y, mask, backend="mega")
+
+        primal = f(params)
+        fwd_val, _ = jax.vjp(f, params)
+        np.testing.assert_array_equal(np.asarray(primal),
+                                      np.asarray(fwd_val))
 
     def test_primal_matches_fused_forward(self):
         """The custom-VJP primal (value path) and the fused kernel's value
