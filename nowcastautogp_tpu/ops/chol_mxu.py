@@ -85,43 +85,43 @@ def _bdot(a, b, transpose_b=False):
     )
 
 
+# Every intermediate in the diagonal-block loops stays RANK 3: a rank-2
+# reduction producing a vector<Cxf32> (C == 1) hits Mosaic's "unsupported
+# output implicit dimension" (observed at the fused LML kernel's C=1
+# chunks, caps 416-512), while rank-3 -> rank-2 reductions lower fine.
+
+
 def _row_j(M, j):
-    """M[:, j, :] for traced j via a one-hot reduce: (C, b, b) -> (C, b)."""
+    """M[:, j:j+1, :] for traced j via a one-hot reduce: (C,b,b)->(C,1,b)."""
     b = M.shape[1]
     onehot = (jax.lax.broadcasted_iota(jnp.int32, (1, b, 1), 1) == j)
-    return jnp.sum(jnp.where(onehot, M, 0.0), axis=1)
+    return jnp.sum(jnp.where(onehot, M, 0.0), axis=1, keepdims=True)
 
 
 def _col_j(M, j):
-    """M[:, :, j] for traced j: (C, b, b) -> (C, b)."""
+    """M[:, :, j:j+1] for traced j: (C, b, b) -> (C, b, 1)."""
     b = M.shape[2]
     onehot = (jax.lax.broadcasted_iota(jnp.int32, (1, 1, b), 2) == j)
-    return jnp.sum(jnp.where(onehot, M, 0.0), axis=2)
-
-
-def _vec_j(v, j):
-    """v[:, j] for traced j: (C, b) -> (C,)."""
-    b = v.shape[1]
-    onehot = (jax.lax.broadcasted_iota(jnp.int32, (1, b), 1) == j)
-    return jnp.sum(jnp.where(onehot, v, 0.0), axis=1)
+    return jnp.sum(jnp.where(onehot, M, 0.0), axis=2, keepdims=True)
 
 
 def _diag_chol(D):
     """Left-looking Cholesky of (C, b, b); fori over columns, masked
     selects (Mosaic has no scatter — same pattern as ops/pallas_chol.py)."""
     C, b, _ = D.shape
-    rowv = jax.lax.broadcasted_iota(jnp.int32, (1, b), 1)
+    rowv = jax.lax.broadcasted_iota(jnp.int32, (1, b, 1), 1)
     colm = jax.lax.broadcasted_iota(jnp.int32, (1, 1, b), 2)
 
     def body(j, L):
-        Lrow = _row_j(L, j)                                     # (C, b)
-        acc = jnp.sum(L * Lrow[:, None, :], axis=-1)            # (C, b)
-        v = _col_j(D, j) - acc
-        dj = _vec_j(v, j)
+        Lrow = _row_j(L, j)                                     # (C, 1, b)
+        acc = jnp.sum(L * Lrow, axis=2, keepdims=True)          # (C, b, 1)
+        v = _col_j(D, j) - acc                                  # (C, b, 1)
+        dj = jnp.sum(jnp.where(rowv == j, v, 0.0),
+                     axis=1, keepdims=True)                     # (C, 1, 1)
         inv_sqrt = jax.lax.rsqrt(dj)
-        colj = jnp.where(rowv > j, v * inv_sqrt[:, None], 0.0)
-        colj = jnp.where(rowv == j, (dj * inv_sqrt)[:, None], colj)
-        return jnp.where(colm == j, colj[:, :, None], L)
+        colj = jnp.where(rowv > j, v * inv_sqrt, 0.0)
+        colj = jnp.where(rowv == j, dj * inv_sqrt, colj)        # (C, b, 1)
+        return jnp.where(colm == j, colj, L)
 
     return jax.lax.fori_loop(0, b, body, jnp.zeros_like(D))
 
@@ -130,15 +130,16 @@ def _small_trtri(Lb):
     """M = Lb^{-1} for (C, b, b) lower-triangular; fori over rows."""
     C, b, _ = Lb.shape
     rowm = jax.lax.broadcasted_iota(jnp.int32, (1, b, 1), 1)
+    colm = jax.lax.broadcasted_iota(jnp.int32, (1, 1, b), 2)
 
     def body(i, M):
-        Lrow = _row_j(Lb, i)                                    # (C, b)
-        lii = _vec_j(Lrow, i)
-        acc = jnp.sum(Lrow[:, :, None] * M, axis=1)             # (C, b)
-        onehot_i = (jax.lax.broadcasted_iota(
-            jnp.int32, (1, b), 1) == i).astype(jnp.float32)
-        Mi = (onehot_i - acc) / lii[:, None]
-        return jnp.where(rowm == i, Mi[:, None, :], M)
+        Lrow = _row_j(Lb, i)                                    # (C, 1, b)
+        lii = jnp.sum(jnp.where(colm == i, Lrow, 0.0),
+                      axis=2, keepdims=True)                    # (C, 1, 1)
+        acc = _bdot(Lrow, M)                                    # (C, 1, b)
+        onehot_i = (colm == i).astype(jnp.float32)              # (1, 1, b)
+        Mi = (onehot_i - acc) / lii                             # (C, 1, b)
+        return jnp.where(rowm == i, Mi, M)
 
     return jax.lax.fori_loop(0, b, body, jnp.zeros_like(Lb))
 

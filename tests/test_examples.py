@@ -61,6 +61,12 @@ class TestExamplesRun:
         assert all(np.isfinite(v) for v in res["scores_wis"].values())
         assert res["ratios_wis"]["nowcast_hmc"] == 1.0
 
+    def test_daily_cadence(self):
+        out = _load("daily_cadence").run(smoke=True)
+        assert np.isfinite(out["log_crps"])
+        assert 0.0 <= out["coverage90"] <= 1.0
+        assert out["structures"], "fitted ensemble must report structures"
+
     def test_online_update(self):
         out = _load("online_update").run(smoke=True)
         assert set(out["mean_log_crps"]) == {"online", "stale"}
