@@ -31,14 +31,28 @@ __all__ = ["fit_smc"]
 
 logger = logging.getLogger("nowcastautogp_tpu")
 
-# Work budget per device call, in masked-LML-evaluation equivalents (a grad
-# counts ~2).  Calibrated against the fused-covariance backend (one unit
-# ~ 14 ms at P=200 full capacity, so one call stays well under the TPU
-# worker's execution watchdog; the round-2 crash was a single ~300 s call).
-# Round-2 value was 350 at ~45 ms/unit; the 2.5x faster hot op carries a
-# proportionally larger budget, which keeps canonical-class rejuvenation
-# (n_mcmc=35-50, n_hmc=3) on the fused capacity-bucketed path.
-_MAX_CALL_UNITS = 900
+# Wall-clock budget per device call: a single fused program must stay well
+# under the TPU worker's execution watchdog (the round-2 crash was one
+# ~300 s call).  Work is counted in masked-LML-evaluation units (a grad
+# counts ~2) and converted to time with a P-aware calibration: the fused
+# LML value+grad kernel measures ~6.4 ms per grad at P=200 / cap-160,
+# where the chunk policy runs ceil(200/8) = 25 sequential grid steps —
+# ~0.13 ms per unit per grid step.  Grid steps scale with ceil(P/8), so a
+# canonical 24-particle ensemble gets ~8x the unit budget of the P=200
+# bench ensemble for the same call time; this is what keeps the
+# reference's canonical 50x50 workload on the fused capacity-bucketed
+# path (``_fit_device`` splits any over-budget schedule segment into
+# multiple calls).  The cap-160 per-unit estimate upper-bounds the
+# bucketed smaller capacities, so the bound is conservative.
+_MAX_CALL_MS = 60_000.0
+_UNIT_MS_PER_GRID_STEP = 0.13
+
+
+def _unit_ms(P: int) -> float:
+    """Estimated device ms per LML-evaluation unit for a P-particle call."""
+    import math
+
+    return _UNIT_MS_PER_GRID_STEP * math.ceil(P / 8)
 
 
 def fit_smc(
@@ -79,25 +93,22 @@ def fit_smc(
         model._push_data()
 
     schedule = [s for s in schedule if s > model.n_ingested]
-    # work per structure move in LML-grad equivalents; a single device call
-    # must stay well under the TPU worker's execution watchdog (a fused
-    # 50x50 canonical sweep in one program crashed the worker), so large
-    # budgets run per-step with move-chunked rejuvenation sweeps
+    # work per structure move in LML-grad equivalents:
     # 1 accept fwd + (1 initial + n_hmc x n_leapfrog) grads at ~2 units each
     # (inference/hmc.py carries value+grad across trajectories)
     units_per_move = 3 + n_hmc * hmc_cfg.n_leapfrog * 2
     per_step_units = max(n_mcmc, 1) * units_per_move
-    # capacity bucketing already splits the fused program into per-segment
-    # calls, so the whole-schedule bound is generous; the per-step bound is
-    # what keeps a single segment under the watchdog
-    fused_ok = (per_step_units <= _MAX_CALL_UNITS
-                and len(schedule) * per_step_units <= 12 * _MAX_CALL_UNITS)
+    # the fused path handles any budget whose single STEP fits one call;
+    # ``_fit_device`` splits multi-step segments that would exceed the
+    # per-call budget into multiple calls of the same compiled program
+    fused_ok = per_step_units * _unit_ms(P) <= _MAX_CALL_MS
     if engine == "device" and schedule and fused_ok:
         return _fit_device(
             model, schedule, n_mcmc, n_hmc, hmc_cfg,
             adaptive_rejuvenation, ess_fraction, verbose, biased=biased,
         )
-    chunk_m = max(1, _MAX_CALL_UNITS // units_per_move)
+    chunk_m = max(
+        1, int(_MAX_CALL_MS / (units_per_move * _unit_ms(P))))
     t_start = time.time()
     for step_i, n_k in enumerate(schedule):
         with phase("smc/reweight"):
@@ -180,8 +191,18 @@ def _fit_device(model, schedule, n_mcmc, n_hmc, hmc_cfg,
     cap_full = model._cap
     noise_mu, noise_sigma, infer = model.noise_prior
 
-    # group consecutive schedule steps by the capacity they need
-    segments = schedule_segments(schedule, cap_full)
+    # group consecutive schedule steps by the capacity they need, then
+    # split any segment whose estimated call time exceeds the per-call
+    # budget (large rejuvenation budgets at full capacity) — the scan
+    # state carries across calls unchanged, so splitting is free
+    units_per_move = 3 + n_hmc * hmc_cfg.n_leapfrog * 2
+    per_step_ms = max(n_mcmc, 1) * units_per_move * _unit_ms(P)
+    max_steps = max(1, int(_MAX_CALL_MS // max(per_step_ms, 1e-9)))
+    segments = [
+        (cap_seg, steps[i:i + max_steps])
+        for cap_seg, steps in schedule_segments(schedule, cap_full)
+        for i in range(0, len(steps), max_steps)
+    ]
 
     t0 = time.time()
     step_base = 0

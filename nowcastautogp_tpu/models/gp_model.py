@@ -129,11 +129,24 @@ class GPModel:
         n = self.n_ingested if n is None else n
         return jnp.asarray((np.arange(self._cap) < n).astype(np.float32))
 
-    def _batched_data(self, n: int | None = None):
+    def _batched_data(self, n: int | None = None, bucket: bool = False):
+        """Particle-batched (x, y, mask) buffers.
+
+        ``bucket=True`` returns the smallest sufficient ``_PAD``-multiple
+        capacity for the current conditioning set instead of the full
+        buffer — the same capacity-bucketing rule as ``_fit_device``
+        (masked LML is invariant to trailing padding, so results are
+        unchanged while early-schedule rejuvenation sweeps run at a
+        fraction of full-capacity cost).
+        """
         P = self.num_particles
-        x = jnp.broadcast_to(self._x_d, (P, self._cap))
-        y = jnp.broadcast_to(self._y_d, (P, self._cap))
-        m = jnp.broadcast_to(self._mask(n), (P, self._cap))
+        cap = self._cap
+        if bucket:
+            live = self.n_ingested if n is None else n
+            cap = min(cap, max(_PAD, int(np.ceil(max(live, 1) / _PAD)) * _PAD))
+        x = jnp.broadcast_to(self._x_d[:cap], (P, cap))
+        y = jnp.broadcast_to(self._y_d[:cap], (P, cap))
+        m = jnp.broadcast_to(self._mask(n)[:cap], (P, cap))
         return x, y, m
 
     def _normalize_dates(self, ds) -> np.ndarray:
@@ -169,7 +182,7 @@ class GPModel:
         Weights are multiplied by the predictive likelihood of the newly
         ingested block: ``w *= p(y_new | y_old, structure, params)``.
         """
-        x, y, m = self._batched_data(n_new)
+        x, y, m = self._batched_data(n_new, bucket=True)
         lml_new = gp_lml_batch(
             jnp.asarray(self._host_types), self._params_d, self._log_noise_d,
             x, y, m, DEFAULT_JITTER,
@@ -206,7 +219,7 @@ class GPModel:
         """
         hmc_cfg = hmc_config or HMCConfig()
         noise_mu, noise_sigma, infer = self.noise_prior
-        x, y, m = self._batched_data()
+        x, y, m = self._batched_data(bucket=True)
         if engine == "device":
             from ..inference.device_smc import rejuvenation_sweep
             from .structures_device import ancestor_table, config_arrays
@@ -239,7 +252,7 @@ class GPModel:
         """Parameter-only rejuvenation (AutoGP.mcmc_parameters! semantics)."""
         hmc_cfg = hmc_config or HMCConfig()
         noise_mu, noise_sigma, infer = self.noise_prior
-        x, y, m = self._batched_data()
+        x, y, m = self._batched_data(bucket=True)
         mu, sigma, active = (jnp.asarray(a) for a in
                              prior_arrays(self._host_types, self.config))
         (self._params_d, self._log_noise_d, self._lml_d, rate,

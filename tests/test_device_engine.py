@@ -432,3 +432,68 @@ class TestCarriedGradSweep:
             float(acc_new), float(np.mean(accs)), atol=1e-6)
         np.testing.assert_allclose(
             np.asarray(sc_new), np.asarray(scale_r), rtol=1e-5)
+
+
+class TestHostPathBucketing:
+    """The host-loop ``rejuvenate``/``hmc_only`` paths bucket their data
+    buffers to the smallest sufficient ``_PAD``-multiple capacity (the same
+    rule as ``_fit_device``).  Masked LML is invariant to trailing padding,
+    so a bucketed sweep must match the full-capacity sweep VALUE-for-value
+    on the identical RNG stream — this pins that invariance end to end
+    through the sweep (proposals, accepts, HMC trajectories)."""
+
+    def _partial_model(self, P=3, n=40, ingest=20, seed=5):
+        rng = np.random.default_rng(seed)
+        dates = [dt.date(2023, 1, 2) + dt.timedelta(weeks=i)
+                 for i in range(n)]
+        obs = 40 * np.exp(0.02 * np.arange(n)
+                          + 0.1 * rng.standard_normal(n))
+        m = ngp.GPModel(dates, np.log(obs), n_particles=P, seed=seed)
+        m.reweight_to(ingest)
+        return m
+
+    def test_bucketed_rejuvenate_matches_full_capacity(self):
+        from nowcastautogp_tpu.inference.device_smc import rejuvenation_sweep
+        from nowcastautogp_tpu.models.structures_device import (
+            ancestor_table, config_arrays,
+        )
+        from nowcastautogp_tpu.models.config import HMCConfig
+        from nowcastautogp_tpu.ops.lml import DEFAULT_JITTER
+
+        model = self._partial_model()
+        assert model._cap == 64  # n=40 pads to two granules
+        clone = ngp.GPModel(model.to_dict())  # identical RNG state
+
+        xb, yb, mb = model._batched_data(bucket=True)
+        assert xb.shape[1] == 32  # 20 ingested rows bucket to one granule
+        model.rejuvenate(2, 2)
+
+        hmc_cfg = HMCConfig()
+        noise_mu, noise_sigma, infer = clone.noise_prior
+        x, y, msk = clone._batched_data()  # full 64-row capacity
+        assert x.shape[1] == 64
+        types, params, log_noise, lml, _, scale = rejuvenation_sweep(
+            jnp.asarray(clone._host_types), clone._params_d,
+            clone._log_noise_d, clone._lml_d, x, y, msk, clone.next_key(),
+            config_arrays(clone.config),
+            jnp.asarray(ancestor_table(clone.config.max_nodes)),
+            n_mcmc=2, n_hmc=2, n_leapfrog=hmc_cfg.n_leapfrog,
+            step_size=hmc_cfg.step_size,
+            step_jitter=hmc_cfg.step_size_jitter, jitter=DEFAULT_JITTER,
+            noise_mu=noise_mu, noise_sigma=noise_sigma, infer_noise=infer,
+            eps_scale=clone._eps_scale_d,
+        )
+        np.testing.assert_array_equal(model._host_types, np.asarray(types))
+        np.testing.assert_allclose(
+            np.asarray(model._params_d), np.asarray(params),
+            rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(model._lml_d), np.asarray(lml), rtol=1e-5, atol=1e-4)
+
+    def test_bucketed_hmc_only_runs_and_preserves_shapes(self):
+        model = self._partial_model(seed=6)
+        before = np.asarray(model._params_d).copy()
+        model.hmc_only(2)
+        after = np.asarray(model._params_d)
+        assert after.shape == before.shape
+        assert np.all(np.isfinite(np.asarray(model._lml_d)))
