@@ -34,16 +34,17 @@ logger = logging.getLogger("nowcastautogp_tpu")
 # Wall-clock budget per device call: a single fused program must stay well
 # under the TPU worker's execution watchdog (the round-2 crash was one
 # ~300 s call).  Work is counted in masked-LML-evaluation units (a grad
-# counts ~2) and converted to time with a P-aware calibration: the fused
-# LML value+grad kernel measures ~6.4 ms per grad at P=200 / cap-160,
-# where the chunk policy runs ceil(200/8) = 25 sequential grid steps —
-# ~0.13 ms per unit per grid step.  Grid steps scale with ceil(P/8), so a
-# canonical 24-particle ensemble gets ~8x the unit budget of the P=200
-# bench ensemble for the same call time; this is what keeps the
-# reference's canonical 50x50 workload on the fused capacity-bucketed
-# path (``_fit_device`` splits any over-budget schedule segment into
-# multiple calls).  The cap-160 per-unit estimate upper-bounds the
-# bucketed smaller capacities, so the bound is conservative.
+# counts ~2) and converted to time with a P-aware calibration fit to two
+# measured fused value+grad points at cap 160 (the fit's dominant cap):
+# ~6.4 ms per grad at P=200 and ~2.0 ms at P=24 (PLAN.md round-3) —
+# an affine latency + per-particle model, 0.13 ms x (5 + ceil(P/10))
+# per unit (P=200 -> 3.25, P=24 -> 1.04 ms/unit).  A canonical
+# 24-particle ensemble thus gets ~3x the unit budget of the P=200 bench
+# ensemble for the same call time; this is what keeps the reference's
+# canonical 50x50 workload on the fused capacity-bucketed path
+# (``_fit_device`` splits any over-budget schedule segment into multiple
+# calls).  The cap-160 per-unit estimate upper-bounds the bucketed
+# smaller capacities, so the bound is conservative.
 _MAX_CALL_MS = 60_000.0
 _UNIT_MS_PER_GRID_STEP = 0.13
 
@@ -52,7 +53,7 @@ def _unit_ms(P: int) -> float:
     """Estimated device ms per LML-evaluation unit for a P-particle call."""
     import math
 
-    return _UNIT_MS_PER_GRID_STEP * math.ceil(P / 8)
+    return _UNIT_MS_PER_GRID_STEP * (5 + math.ceil(P / 10))
 
 
 def fit_smc(

@@ -13,7 +13,9 @@ work, ``inference/hmc.py:206-215``), the previous four-stage pipeline
 with one ``pallas_call``.  The wins over the composed path, by construction:
 
 * the backward node walk reuses the forward walk's VMEM ``vals`` planes —
-  the two-kernel custom-VJP's full forward recompute disappears;
+  the two-kernel custom-VJP's full forward recompute disappears; the two
+  walk scratches further share ONE (N+3)-plane pool via a static liveness
+  map (``_dval_map``), nearly halving walk VMEM and doubling the chunk;
 * K, dA, and A^{-1} never touch HBM (2 x (P, n, n) round trips per eval);
 * the factorization is ``ops/chol_mxu.py``'s blocked MXU body (measured
   2.5x over XLA's While-loop expander standalone) instead of XLA's.
@@ -49,8 +51,9 @@ __all__ = ["lml_core_fused", "megalml_supported"]
 
 _PREC_HI = jax.lax.Precision.HIGHEST
 
-# 2 (N, C, n, n_pad) walk scratches + 3 (C, n, n) chol buffers, C=1, must
-# clear megacov's VMEM budget: n = 512 is 65 + 3 MB — still inside.
+# shared (N+3)-plane walk pool + 3 (C, n, n) chol buffers, C=1, must
+# clear megacov's VMEM budget: n = 512 is ~27 + 3 MB at depth 5 — inside
+# (and depth-6 heaps at n = 512 now fit too: ~52 + 3 MB).
 _MAX_LML_N = 512
 
 
@@ -78,27 +81,148 @@ _CHUNK_OVERRIDE = int(_os.environ.get("NGP_MEGALML_CHUNK", "0"))
 _ABLATE = _os.environ.get("NGP_MEGALML_ABLATE", "")
 
 
+@functools.lru_cache(maxsize=None)
+def _dval_map(n_nodes: int):
+    """Static plane map sharing one scratch pool between the forward
+    ``vals`` and backward ``dvals`` walk planes.
+
+    Liveness (see ``mega._node_bwd_body``): ``vals[j]`` is last read at
+    backward step ``j`` (leaf grads read their own plane) and ``dvals[j]``
+    lives from its write at parent step ``(j-1)//2`` to its read at step
+    ``j`` — so a greedy interval allocation needs only ``N + 3`` planes
+    instead of the separate pools' ``2N``.  ``vals[j]`` keeps plane ``j``;
+    this returns ``(dmap, n_pool)`` with ``dvals[j] -> pool[dmap[j]]``.
+    """
+    N = n_nodes
+    free: list[int] = []
+    nxt = N
+    dmap = np.zeros(N, np.int32)
+    dmap[0] = nxt
+    nxt += 1
+    for i in range(N):
+        for j in (2 * i + 1, 2 * i + 2):
+            if j < N:
+                dmap[j] = free.pop() if free else nxt
+                if dmap[j] == nxt:
+                    nxt += 1
+        free.append(i)              # vals[i] dies at end of step i
+        free.append(int(dmap[i]))   # dvals[i] dies at end of step i
+    return dmap, nxt
+
+
+class _PlaneView:
+    """First-axis remap view over a shared scratch pool ref: index ``j``
+    resolves through an SMEM plane-map before touching the pool."""
+
+    def __init__(self, ref, map_ref):
+        self._ref = ref
+        self._map = map_ref
+
+    def _remap(self, idx):
+        return (self._map[idx[0]],) + tuple(idx[1:])
+
+    def __getitem__(self, idx):
+        return self._ref[self._remap(idx)]
+
+    def __setitem__(self, idx, v):
+        self._ref[self._remap(idx)] = v
+
+
 def _scratch_bytes_per_lane(n: int, n_nodes: int) -> int:
-    """Two compacted walk scratches + three (n, n) chol buffers, per lane."""
-    n_pad = int(math.ceil(n / 128)) * 128
-    rows_c, width_c, _ = mega._dest_layout(n, mega._make_regions(n, n_pad))
-    return 2 * n_nodes * rows_c * width_c * 4 + 3 * n * n_pad * 4
+    """Shared walk pool (N+3 planes) + three (n, n) chol buffers, per lane
+    (the value+grad kernel's VMEM footprint)."""
+    _, n_pool = _dval_map(n_nodes)
+    return n_pool * _walk_bytes(n) + 3 * n * _n_pad(n) * 4
 
 
-def _chunk_for_lml(n: int, n_nodes: int) -> int:
+def _scratch_bytes_val(n: int, n_nodes: int) -> int:
+    """Value-only variant: one walk set (N planes), no dvals pool."""
+    return n_nodes * _walk_bytes(n) + 3 * n * _n_pad(n) * 4
+
+
+def _n_pad(n: int) -> int:
+    return int(math.ceil(n / 128)) * 128
+
+
+def _out_vmem_bytes(Pp: int, n: int, n_nodes: int) -> int:
+    """Scoped-VMEM cost of the kernel outputs the per-lane model omits.
+
+    Measured OOM dumps (PLAN.md round-3): XLA keeps small pallas outputs
+    whole in scoped VMEM — so their footprint scales with the PADDED
+    population, not the chunk.  ``gdiag``/``alpha`` are row-shaped
+    (Pp, 1, n) (sublane pad 1 -> 8, lane pad to 128-multiple); ``dp``'s
+    trailing (1, 1) dims pad to 128 lanes; ``core`` likewise.  The
+    dominant term is the full col-shaped ``xc`` OPERAND (Pp, n, 1) —
+    its lane dim pads to 128 and XLA stages the whole gathered array in
+    scoped VMEM (the unexplained ~17-20 MB in both measured OOM dumps).
+    """
+    n_pad = _n_pad(n)
+    return (_staged(2 * Pp * 8 * n_pad * 4)
+            + _staged(Pp * n_nodes * 3 * 128 * 4)
+            + Pp * 128 * 4 + _staged_xc_bytes(Pp, n))
+
+
+def _staged(b: int) -> int:
+    """A whole-array term only applies when the padded array is small
+    enough for XLA to choose scoped VMEM at all — a 95 MB nowcast-panel
+    dp (Pp = 2000) stays in HBM and costs nothing scoped."""
+    return b if b <= mega._VMEM_LIMIT // 2 else 0
+
+
+def _staged_xc_bytes(Pp: int, n: int) -> int:
+    """Staged-xc operand term (see ``_staged``)."""
+    return _staged(Pp * n * 128 * 4)
+
+
+def _blk_vmem_bytes(n: int, n_nodes: int) -> int:
+    """Double-buffered operand/output BLOCK bytes per lane, plus the D
+    scratch: three col-shaped buffers (xc, mask, ym; lanes pad 1 -> 128),
+    five row-shaped ones (diag, xr, maskr, gdiag, alpha; sublanes pad
+    1 -> 8), the packed nodeinfo (11 N (1, 1)-planes padding to 128
+    lanes) and the dp output block (3 N planes).  Calibrated against the
+    measured C=15/C=16 n=160 OOM dumps (PLAN.md round-3); the true
+    footprint is not exactly monotone in C (XLA buffering choices), so
+    callers pair this with a ~10 MB slack.
+    """
+    n_pad = _n_pad(n)
+    return (2 * 3 * n * 128 * 4          # col blocks
+            + 2 * 5 * 8 * n_pad * 4      # row blocks
+            + 2 * 14 * n_nodes * 128 * 4  # nodeinfo + dp planes
+            + n * 128 * 4)               # D scratch (lane pad 32 -> 128)
+
+
+def _chunk_for_lml(n: int, n_nodes: int, P: int) -> int:
     """Particles per grid step for the fused kernel.
 
-    The kernel's phase ablation (PLAN.md round-3) puts ~2/3 of its time
-    in the blocked Cholesky's serial 32-step diagonal fori loops, whose
-    latency amortizes over the chunk lanes — so the policy picks the
-    largest C whose two compacted walk scratches (``_dest_layout``) +
-    three (C, n, n) chol buffers fit the VMEM budget.
+    Measured on the v5e (PLAN.md round-3): the serial diagonal-chol
+    latency amortization saturates by C = 8-16 on DIVERSE populations —
+    pushing C to the VMEM-feasible max (C=14 at cap 160) measured
+    slightly WORSE than C=8 (6.58 vs 6.38 ms/eval) because per-chunk
+    activity gating coarsens (a chunk pays the union of its lanes' node
+    slots).  So large ensembles keep the measured optimum (16 at
+    n <= 128, 8 above); SMALL ensembles (the reference's canonical
+    P=24, whose post-resample populations are duplicated and union-gate
+    cheaply) instead minimize grid steps within the VMEM budget
+    (fused P=24 cap-160 at G=2: 1.96 ms vs 2.75 composed).
     """
     if _CHUNK_OVERRIDE:
         return _CHUNK_OVERRIDE
-    per = _scratch_bytes_per_lane(n, n_nodes)
-    for c in (16, 8, 4, 2, 1):
-        if c * per <= mega._VMEM_LIMIT - 24 * 1024 * 1024:
+    per = _scratch_bytes_per_lane(n, n_nodes) + _blk_vmem_bytes(n, n_nodes)
+    budget = mega._VMEM_LIMIT - 4 * 1024 * 1024
+
+    def fits(c: int) -> bool:
+        Pp = -(-P // c) * c
+        return c * per + _out_vmem_bytes(Pp, n, n_nodes) <= budget
+
+    if P > 32:
+        c = 16 if n <= 128 else 8
+        while c > 1 and not fits(c):
+            c //= 2
+        return c
+    # fewest grid steps first (serial latency), smallest C within that G
+    for G in range(1, P + 1):
+        c = -(-P // G)
+        if c <= 32 and fits(c):
             return c
     return 1
 
@@ -125,6 +249,10 @@ def _fwd_steps(flags_ref, info_ref, xc_ref, xr_ref, diag_ref, maskc_ref,
 
     Writes ``core`` = -0.5 (quad + logdet); returns (regs, dests, eye,
     Xv, alpha) for the gradient steps.
+
+    ``diag_ref`` is ROW-shaped (C, 1, n): col-shaped (.., n, 1) buffers
+    pad their lane dim to 128 in VMEM (measured OOM dumps), so every
+    operand/output that can live as a row does.
     """
     C = A.shape[0]
     regs = mega._region_planes(xc_ref, xr_ref, regions)
@@ -151,6 +279,7 @@ def _fwd_steps(flags_ref, info_ref, xc_ref, xr_ref, diag_ref, maskc_ref,
     eye_c = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
     eye = jnp.broadcast_to(
         (eye_r == eye_c).astype(jnp.float32)[None], (C, n, n))
+    # diag_ref is (C, 1, n): broadcasts along sublanes onto the diagonal
     A[:, :, :] = A[:, :, :] + diag_ref[:, :, :] * eye
 
     # ---- 3. in-place blocked Cholesky + triangular inverse: X = L^{-1}
@@ -169,7 +298,7 @@ def _fwd_steps(flags_ref, info_ref, xc_ref, xr_ref, diag_ref, maskc_ref,
     alpha = _bdot_ta(Xv, t)                                    # (C, n, 1)
     quad = jnp.sum(ym * alpha, axis=1, keepdims=True)          # (C, 1, 1)
     core_ref[:, :, :] = -0.5 * (quad + logdet)
-    return regs, dests, eye, Xv, alpha
+    return regs, dests, eye, Xv, t, alpha
 
 
 def _megalml_val_kernel(
@@ -178,35 +307,47 @@ def _megalml_val_kernel(
 ):
     """Value-only variant: the same steps 1-4, no gradient work — used by
     the custom_vjp primal so value and grad paths share one float path."""
-    _fwd_steps(flags_ref, info_ref, xc_ref, xr_ref, diag_ref, maskc_ref,
-               maskr_ref, ym_ref, core_ref, vals, A, X, R, D, N, n, regions)
+    _ = _fwd_steps(flags_ref, info_ref, xc_ref, xr_ref, diag_ref, maskc_ref,
+                   maskr_ref, ym_ref, core_ref, vals, A, X, R, D, N, n,
+                   regions)
 
 
 def _megalml_kernel(
     flags_ref, info_ref, xc_ref, xr_ref, diag_ref, maskc_ref, maskr_ref,
-    ym_ref,
+    ym_ref, dmap_ref,
     core_ref, dp_ref, gdiag_ref, alpha_ref,
-    vals, dvals, A, X, R, D,
+    pool, A, X, R, D,
     *, N, n, regions,
 ):
     """One chunk of C particles: LML core value + all analytic gradients.
 
     Outputs: ``core`` (C, 1, 1) = -0.5 (quad + logdet); ``dp`` (N*3, C, 1, 1)
-    = d core / d params; ``gdiag`` (C, n, 1) = d core / d diag-augmentation;
-    ``alpha`` (C, n, 1) = A^{-1} ym (so d core / d ym = -alpha).
+    = d core / d params; ``gdiag`` (C, 1, n) = d core / d diag-augmentation;
+    ``alpha`` (C, 1, n) = (A^{-1} ym)^T (so d core / d ym = -alpha).
+    ``gdiag``/``alpha`` are ROW-shaped: (.., n, 1) cols pad lanes to 128
+    and land whole in scoped VMEM (measured OOM dumps) — 10x the bytes.
+
+    ``pool`` holds both walk scratches: forward ``vals[j]`` on plane ``j``,
+    backward ``dvals[j]`` on plane ``dmap_ref[j]`` (``_dval_map`` liveness).
     """
     C = A.shape[0]
-    regs, dests, eye, Xv, alpha = _fwd_steps(
+    vals = pool
+    dvals = _PlaneView(pool, dmap_ref)
+    regs, dests, eye, Xv, t, alpha = _fwd_steps(
         flags_ref, info_ref, xc_ref, xr_ref, diag_ref, maskc_ref,
         maskr_ref, ym_ref, core_ref, vals, A, X, R, D, N, n, regions)
-    alpha_ref[:, :, :] = alpha
+    alpha_row = _bdot_ta(t, Xv)                     # (C, 1, n) = alpha^T
+    alpha_ref[:, :, :] = alpha_row
 
     # ---- 5. analytic cotangent dA = 0.5 (alpha alpha^T - A^{-1});
     # staged through the (free again) R scratch so the region slices below
     # read a REF, not a lane-offset value slice (Mosaic layout rule).
+    # The diag gradient comes straight from rows: A^{-1}_jj = sum_i X_ij^2
+    # (column sums of the triangular inverse) — no (C, n, n) R*eye temp.
     Ainv = _bdot_ta(Xv, Xv)
-    R[:, :, :] = 0.5 * (_bdot(alpha, alpha, transpose_b=True) - Ainv)
-    gdiag_ref[:, :, :] = jnp.sum(R[:, :, :] * eye, axis=2, keepdims=True)
+    R[:, :, :] = 0.5 * (_bdot(alpha, alpha_row) - Ainv)
+    ainv_diag = jnp.sum(Xv * Xv, axis=1, keepdims=True)       # (C, 1, n)
+    gdiag_ref[:, :, :] = 0.5 * (alpha_row * alpha_row - ainv_diag)
 
     if _ABLATE == "nobwd":
         dp_ref[0] = jnp.zeros_like(info_ref[0, 0])
@@ -261,12 +402,34 @@ def _val_call_impl(types, params, diagv, mask, x, ym, interpret):
 
     P, N = types.shape
     n = x.shape[1]
-    # no dvals scratch: one walk set + chol buffers -> roughly 2x the
-    # lanes of the value+grad variant at the same budget
-    per = _scratch_bytes_per_lane(n, N) - N * _walk_bytes(n)
-    C = _CHUNK_OVERRIDE or next(
-        (c for c in (16, 8, 4, 2, 1)
-         if c * per <= mega._VMEM_LIMIT - 24 * 1024 * 1024), 1)
+    # no dvals planes: one walk set + chol buffers -> more lanes than the
+    # value+grad variant at the same budget.  Same policy shape as
+    # _chunk_for_lml: measured optimum for large P, G-first for small P.
+    per = _scratch_bytes_val(n, N) + _blk_vmem_bytes(n, N)
+    budget = mega._VMEM_LIMIT - 4 * 1024 * 1024
+
+    def _fits(c: int) -> bool:
+        # only the (Pp, 1, 1) core output scales with Pp here — the val
+        # kernel's measured OOM dumps show NO staged-xc term (unlike the
+        # value+grad variant)
+        Pp_c = -(-P // c) * c
+        return c * per + Pp_c * 128 * 4 <= budget
+
+    C = _CHUNK_OVERRIDE
+    if not C:
+        if P > 32:
+            # C=16 is the measured optimum at every n <= 192 (5.03 /
+            # 6.02 ms at caps 160 / 192, PLAN.md round-3)
+            C = 16
+            while C > 1 and not _fits(C):
+                C //= 2
+        else:
+            C = 1
+            for G in range(1, P + 1):
+                c = -(-P // G)
+                if c <= 32 and _fits(c):
+                    C = c
+                    break
     flags, info, xc, xr, G, Pp, n_pad = mega._pack(types, params, x, C)
     if Pp != P:
         pad = Pp - P
@@ -275,7 +438,7 @@ def _val_call_impl(types, params, diagv, mask, x, ym, interpret):
         mask = jnp.concatenate(
             [mask, jnp.zeros((pad, n), mask.dtype)], axis=0)
         ym = jnp.concatenate([ym, jnp.zeros((pad, n), ym.dtype)], axis=0)
-    diagc = diagv[:, :, None]
+    diagr = diagv[:, None, :]
     maskc = mask[:, :, None]
     maskr = jnp.pad(mask, ((0, 0), (0, n_pad - n)))[:, None, :]
     ymc = ym[:, :, None]
@@ -284,12 +447,13 @@ def _val_call_impl(types, params, diagv, mask, x, ym, interpret):
     rows_c, width_c, _ = mega._dest_layout(n, regions)
     fs, infs, xcs, xrs, _ks = mega._specs(C, N, n, interpret)
     col_spec = pl.BlockSpec((C, n, 1), lambda g: (g, 0, 0))
+    row_spec = pl.BlockSpec((C, 1, n), lambda g: (g, 0, 0))
     maskr_spec = pl.BlockSpec((C, 1, n_pad), lambda g: (g, 0, 0))
     core_spec = pl.BlockSpec((C, 1, 1), lambda g: (g, 0, 0))
     core = pl.pallas_call(
         functools.partial(_megalml_val_kernel, N=N, n=n, regions=regions),
         grid=(G,),
-        in_specs=[fs, infs, xcs, xrs, col_spec, col_spec, maskr_spec,
+        in_specs=[fs, infs, xcs, xrs, row_spec, col_spec, maskr_spec,
                   col_spec],
         out_specs=core_spec,
         out_shape=jax.ShapeDtypeStruct((Pp, 1, 1), jnp.float32),
@@ -298,7 +462,7 @@ def _val_call_impl(types, params, diagv, mask, x, ym, interpret):
              (C, n, _CHOL_B)], interpret),
         interpret=interpret,
         **mega._compiler_kwargs(interpret),
-    )(flags, info, xc, xr, diagc, maskc, maskr, ymc)
+    )(flags, info, xc, xr, diagr, maskc, maskr, ymc)
     return core.reshape(Pp)[:P]
 
 
@@ -325,7 +489,7 @@ def _vag_call_impl(types, params, diagv, mask, x, ym, interpret):
 
     P, N = types.shape
     n = x.shape[1]
-    C = _chunk_for_lml(n, N)
+    C = _chunk_for_lml(n, N, P)
     flags, info, xc, xr, G, Pp, n_pad = mega._pack(types, params, x, C)
     if Pp != P:
         pad = Pp - P
@@ -335,7 +499,7 @@ def _vag_call_impl(types, params, diagv, mask, x, ym, interpret):
         mask = jnp.concatenate(
             [mask, jnp.zeros((pad, n), mask.dtype)], axis=0)
         ym = jnp.concatenate([ym, jnp.zeros((pad, n), ym.dtype)], axis=0)
-    diagc = diagv[:, :, None]                                  # (Pp, n, 1)
+    diagr = diagv[:, None, :]                                  # (Pp, 1, n)
     maskc = mask[:, :, None]                                   # (Pp, n, 1)
     maskr = jnp.pad(mask, ((0, 0), (0, n_pad - n)))[:, None, :]
     ymc = ym[:, :, None]                                       # (Pp, n, 1)
@@ -344,31 +508,41 @@ def _vag_call_impl(types, params, diagv, mask, x, ym, interpret):
     rows_c, width_c, _ = mega._dest_layout(n, regions)
     fs, infs, xcs, xrs, _ks = mega._specs(C, N, n, interpret)
     col_spec = pl.BlockSpec((C, n, 1), lambda g: (g, 0, 0))
+    row_spec = pl.BlockSpec((C, 1, n), lambda g: (g, 0, 0))
     maskr_spec = pl.BlockSpec((C, 1, n_pad), lambda g: (g, 0, 0))
     core_spec = pl.BlockSpec((C, 1, 1), lambda g: (g, 0, 0))
     dp_spec = pl.BlockSpec((None, N * 3, C, 1, 1),
                            lambda g: (g, 0, 0, 0, 0))
+    dmap_np, n_pool = _dval_map(N)
+    if interpret:
+        dmap_spec = pl.BlockSpec((None, N), lambda g: (0, 0))
+    else:
+        from jax.experimental.pallas import tpu as pltpu
+
+        dmap_spec = pl.BlockSpec((None, N), lambda g: (0, 0),
+                                 memory_space=pltpu.SMEM)
     core, dp_l, gdiag, alpha = pl.pallas_call(
         functools.partial(_megalml_kernel, N=N, n=n, regions=regions),
         grid=(G,),
-        in_specs=[fs, infs, xcs, xrs, col_spec, col_spec, maskr_spec,
-                  col_spec],
-        out_specs=[core_spec, dp_spec, col_spec, col_spec],
+        in_specs=[fs, infs, xcs, xrs, row_spec, col_spec, maskr_spec,
+                  col_spec, dmap_spec],
+        out_specs=[core_spec, dp_spec, row_spec, row_spec],
         out_shape=[
             jax.ShapeDtypeStruct((Pp, 1, 1), jnp.float32),
             jax.ShapeDtypeStruct((G, N * 3, C, 1, 1), jnp.float32),
-            jax.ShapeDtypeStruct((Pp, n, 1), jnp.float32),
-            jax.ShapeDtypeStruct((Pp, n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Pp, 1, n), jnp.float32),
+            jax.ShapeDtypeStruct((Pp, 1, n), jnp.float32),
         ],
         scratch_shapes=mega._scratch(
-            [(N, C, rows_c, width_c), (N, C, rows_c, width_c), (C, n, n),
+            [(n_pool, C, rows_c, width_c), (C, n, n),
              (C, n, n), (C, n, n), (C, n, _CHOL_B)], interpret),
         interpret=interpret,
         **mega._compiler_kwargs(interpret),
-    )(flags, info, xc, xr, diagc, maskc, maskr, ymc)
+    )(flags, info, xc, xr, diagr, maskc, maskr, ymc,
+      jnp.asarray(dmap_np)[None, :])
     gparams = dp_l.reshape(G, N, 3, C).transpose(0, 3, 1, 2)
     return (core.reshape(Pp)[:P], gparams.reshape(Pp, N, 3)[:P],
-            gdiag[:P, :, 0], alpha[:P, :, 0])
+            gdiag[:P, 0, :], alpha[:P, 0, :])
 
 
 @jax.custom_vjp

@@ -85,11 +85,13 @@ class TestValueParity:
         np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-3)
 
     def test_vmem_guard_deep_heap_large_n(self):
-        # 63 node slots x n=512: even C=1 exceeds the scratch budget, so
-        # support must be declined (composed-path fallback), not OOM
+        # the shared (N+3)-plane walk pool brought 63 node slots x n=512
+        # inside the C=1 scratch budget (was declined with separate
+        # vals/dvals pools); n > 512 stays composed-path (tiled covariance)
         assert ml.megalml_supported(31, 512)
-        assert not ml.megalml_supported(63, 512)
+        assert ml.megalml_supported(63, 512)
         assert ml.megalml_supported(63, 416)
+        assert not ml.megalml_supported(63, 544)
 
     def test_unsupported_n_falls_back(self):
         # n = 72 is not a 32 multiple: still correct via the composed path
