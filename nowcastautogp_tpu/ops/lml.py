@@ -370,10 +370,10 @@ def gp_lml_batched(node_types, params, log_noise, x, y, mask,
         if not megacov_supported(node_types.shape[-1], x.shape[-1]):
             backend = "jnp"
     if backend == "mega":
-        from .pallas_megalml import megalml_supported
+        from .pallas_megalml import megalml_fits
 
-        if _MEGALML != "off" and megalml_supported(
-                node_types.shape[-1], x.shape[-1]):
+        if _MEGALML != "off" and megalml_fits(
+                node_types.shape[-1], x.shape[-1], node_types.shape[0]):
             return _lml_mega_fused(
                 node_types, params, log_noise, x, y, mask, jitter)
         from .pallas_megacov import cov_batched_fused

@@ -47,7 +47,7 @@ from . import pallas_megacov as mega
 from .chol_mxu import _B as _CHOL_B
 from .chol_mxu import _bdot, tri_inv_body
 
-__all__ = ["lml_core_fused", "megalml_supported"]
+__all__ = ["lml_core_fused", "megalml_supported", "megalml_fits"]
 
 _PREC_HI = jax.lax.Precision.HIGHEST
 
@@ -70,6 +70,26 @@ def megalml_supported(n_nodes: int, n: int) -> bool:
         return False
     return _scratch_bytes_per_lane(n, n_nodes) <= (
         mega._VMEM_LIMIT - 24 * 1024 * 1024)
+
+
+def megalml_fits(n_nodes: int, n: int, P: int) -> bool:
+    """P-aware launch check: the static envelope plus the full VMEM budget
+    model (per-lane scratch + block buffers + the padded-POPULATION staged
+    output/operand terms) at the chunk the policy would pick.
+
+    The value+grad variant is the binding one — the value-only kernel has
+    no dvals pool and no staged-xc term.  The population-scaled terms make
+    this P-dependent: a depth-6 heap at n = 512 fits at P = 24 but not at
+    P = 200 (the staged xc operand alone is 50 MB there), so the dispatch
+    in ``ops/lml.py`` falls back to the composed megacov + batched-Cholesky
+    path instead of launching a predicted-OOM program.
+    """
+    if not megalml_supported(n_nodes, n):
+        return False
+    C = _chunk_for_lml(n, n_nodes, P)
+    per = _scratch_bytes_per_lane(n, n_nodes) + _blk_vmem_bytes(n, n_nodes)
+    Pp = -(-P // C) * C
+    return C * per + _out_vmem_bytes(Pp, n, n_nodes) <= mega._VMEM_LIMIT
 
 
 import os as _os
