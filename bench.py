@@ -37,13 +37,16 @@ def _series(n: int, seed: int = 0):
 
 
 def run(n_particles=200, n_train=150, n_mcmc=None, n_hmc=None,
-        n_scenarios=100, draws_per=20, horizon=8, seed=1, verbose=False):
+        n_scenarios=100, draws_per=20, horizon=8, seed=1, verbose=False,
+        smc_data_proportion=0.1, adaptive_rejuvenation=False,
+        n_leapfrog=None):
     import datetime as dt
 
     import nowcastautogp_tpu as ngp
 
     n_mcmc = N_MCMC if n_mcmc is None else n_mcmc
     n_hmc = N_HMC if n_hmc is None else n_hmc
+    n_leapfrog = N_LEAPFROG if n_leapfrog is None else n_leapfrog
     dates, obs = _series(n_train + 2 + horizon, seed)
     train_dates, train_obs = dates[:n_train], obs[:n_train]
     fwd, inv = ngp.get_transformations("boxcox", train_obs)
@@ -53,9 +56,11 @@ def run(n_particles=200, n_train=150, n_mcmc=None, n_hmc=None,
     config = ngp.GPConfig(max_depth=5)
     t0 = time.time()
     model = ngp.make_and_fit_model(
-        data, n_particles=n_particles, smc_data_proportion=0.1,
+        data, n_particles=n_particles,
+        smc_data_proportion=smc_data_proportion,
         n_mcmc=n_mcmc, n_hmc=n_hmc, seed=seed, verbose=verbose,
-        config=config, hmc_config=ngp.HMCConfig(n_leapfrog=N_LEAPFROG),
+        adaptive_rejuvenation=adaptive_rejuvenation,
+        config=config, hmc_config=ngp.HMCConfig(n_leapfrog=n_leapfrog),
     )
     fit_s = time.time() - t0
 

@@ -74,3 +74,27 @@ class TestCalibrationStudyArtifact:
         emp = sum(hits) / n
         se = (0.9 * 0.1 / n) ** 0.5
         assert emp >= 0.9 - 2 * se, (emp, se)
+
+
+class TestCanonicalStudyArtifact:
+    """Pins the measured claim that the reference's DOCUMENTED fit budgets
+    run inside (or straddling) the 60 s envelope on one v5e
+    (tools/canonical_study.py; VERDICT r2 item 1's primary arm)."""
+
+    def test_structure(self):
+        res = _load("canonical_study_results.json")
+        for cfg in ("200p_50x5_lf5", "24p_50x50_lf5", "24p_100x20_lf5"):
+            assert cfg in res, cfg
+            for row in res[cfg]:
+                assert {"seed", "fit_s", "log_crps"} <= set(row)
+
+    def test_nmcmc50_at_bench_ensemble_inside_envelope(self):
+        res = _load("canonical_study_results.json")
+        fits = [r["fit_s"] for r in res["200p_50x5_lf5"]]
+        assert max(fits) < res.get("target_s", 60.0), fits
+
+    def test_percentage_vignette_budget_inside_envelope(self):
+        # use-percentages.jl:121-123 — n_particles=24, n_mcmc=100, n_hmc=20
+        res = _load("canonical_study_results.json")
+        fits = [r["fit_s"] for r in res["24p_100x20_lf5"]]
+        assert max(fits) < res.get("target_s", 60.0), fits

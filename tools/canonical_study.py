@@ -13,6 +13,18 @@ on the exact bench series/holdout (``bench.run``):
   (n_particles=24, smc_data_proportion=0.1, n_mcmc=50, n_hmc=50), riding
   the fused capacity-bucketed device path (P-aware call budget,
   ``inference/smc.py``).
+* ``24p_100x20`` — the NSSP percentage-vignette fit budget verbatim
+  (``/root/reference/docs/vignettes/use-percentages.jl:121-123``:
+  n_particles=24, n_mcmc=100, n_hmc=20).
+* ``32p_200x50_adaptive`` — the setting-priors-vignette fit budget
+  verbatim (``/root/reference/docs/vignettes/setting-priors.jl:179-186``:
+  n_particles=32, smc_data_proportion=0.005 — clamped to 1/n_train, i.e.
+  a per-observation schedule — n_mcmc=200, n_hmc=50,
+  adaptive_rejuvenation=true).
+
+The two vignette budgets run on the bench series (their own data files
+are not committed to the reference tree), so the rows measure the FIT
+COMPUTE of those documented workloads, not their datasets.
 
 Writes ``tools/canonical_study_results.json``.  Run on the TPU:
 
@@ -32,6 +44,10 @@ CONFIGS = {
     "200p_35x5_lf5": dict(n_particles=200, n_mcmc=35, n_hmc=5),
     "200p_50x5_lf5": dict(n_particles=200, n_mcmc=50, n_hmc=5),
     "24p_50x50_lf5": dict(n_particles=24, n_mcmc=50, n_hmc=50),
+    "24p_100x20_lf5": dict(n_particles=24, n_mcmc=100, n_hmc=20),
+    "32p_200x50_adaptive_lf5": dict(
+        n_particles=32, n_mcmc=200, n_hmc=50,
+        smc_data_proportion=0.005, adaptive_rejuvenation=True),
 }
 
 
@@ -52,6 +68,9 @@ def main() -> None:
     import bench
 
     results: dict = {"target_s": 60.0, "n_leapfrog": bench.N_LEAPFROG}
+    if os.path.exists(args.out):  # merge: keep rows from earlier runs
+        with open(args.out) as f:
+            results.update(json.load(f))
     for name in args.configs:
         kw = CONFIGS[name]
         bench.run(seed=1, **kw)  # warm-up: compile at identical shapes
@@ -63,6 +82,8 @@ def main() -> None:
             print(f"{name} seed={seed}: fit {fit_s:.1f}s "
                   f"crps {q['log_crps']}", flush=True)
         results[name] = rows
+        with open(args.out, "w") as f:  # checkpoint after each config
+            json.dump(results, f, indent=1)
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps(results))
