@@ -47,7 +47,8 @@ from . import pallas_megacov as mega
 from .chol_mxu import _B as _CHOL_B
 from .chol_mxu import _bdot, tri_inv_body
 
-__all__ = ["lml_core_fused", "megalml_supported", "megalml_fits"]
+__all__ = ["lml_core_fused", "lml_core_fused_val", "megalml_supported",
+           "megalml_fits", "megalml_fits_val"]
 
 _PREC_HI = jax.lax.Precision.HIGHEST
 
@@ -78,18 +79,45 @@ def megalml_fits(n_nodes: int, n: int, P: int) -> bool:
     output/operand terms) at the chunk the policy would pick.
 
     The value+grad variant is the binding one — the value-only kernel has
-    no dvals pool and no staged-xc term.  The population-scaled terms make
-    this P-dependent: a depth-6 heap at n = 512 fits at P = 24 but not at
+    no dvals pool and no staged-xc term (use ``megalml_fits_val`` for
+    value-only callers).  The population-scaled terms make this
+    P-dependent: a depth-6 heap at n = 512 fits at P = 24 but not at
     P = 200 (the staged xc operand alone is 50 MB there), so the dispatch
     in ``ops/lml.py`` falls back to the composed megacov + batched-Cholesky
     path instead of launching a predicted-OOM program.
+
+    Budget carries the full ~10 MB slack ``_blk_vmem_bytes``'s calibration
+    note demands (``_SLACKED_LIMIT``, shared with the chunk policies): the
+    footprint model is known inexact near the limit (not monotone in C),
+    and the chunk policy can fall back to C=1 without re-checking — this
+    gate must never approve a launch the policy itself deemed infeasible.
     """
     if not megalml_supported(n_nodes, n):
         return False
     C = _chunk_for_lml(n, n_nodes, P)
     per = _scratch_bytes_per_lane(n, n_nodes) + _blk_vmem_bytes(n, n_nodes)
     Pp = -(-P // C) * C
-    return C * per + _out_vmem_bytes(Pp, n, n_nodes) <= mega._VMEM_LIMIT
+    return C * per + _out_vmem_bytes(Pp, n, n_nodes) <= _SLACKED_LIMIT
+
+
+_SLACKED_LIMIT = mega._VMEM_LIMIT - 10 * 1024 * 1024
+
+
+def megalml_fits_val(n_nodes: int, n: int, P: int) -> bool:
+    """P-aware launch check for the VALUE-ONLY fused kernel.
+
+    One walk set (no dvals pool) and only the (Pp, 1, 1) core output
+    scales with the padded population — shapes the value+grad variant
+    rejects (e.g. depth-6 n=512 at P=200) often still fit here, so
+    value-only callers (SMC reweights, accept ratios, predict) keep the
+    fused kernel.  Same 10 MB-slacked budget as ``megalml_fits``.
+    """
+    if not megalml_supported(n_nodes, n):
+        return False
+    C = _chunk_for_val(n, n_nodes, P)
+    per = _scratch_bytes_val(n, n_nodes) + _blk_vmem_bytes(n, n_nodes)
+    Pp = -(-P // C) * C
+    return C * per + Pp * 128 * 4 <= _SLACKED_LIMIT
 
 
 import os as _os
@@ -228,7 +256,7 @@ def _chunk_for_lml(n: int, n_nodes: int, P: int) -> int:
     if _CHUNK_OVERRIDE:
         return _CHUNK_OVERRIDE
     per = _scratch_bytes_per_lane(n, n_nodes) + _blk_vmem_bytes(n, n_nodes)
-    budget = mega._VMEM_LIMIT - 4 * 1024 * 1024
+    budget = _SLACKED_LIMIT
 
     def fits(c: int) -> bool:
         Pp = -(-P // c) * c
@@ -243,6 +271,39 @@ def _chunk_for_lml(n: int, n_nodes: int, P: int) -> int:
     for G in range(1, P + 1):
         c = -(-P // G)
         if c <= 32 and fits(c):
+            return c
+    return 1
+
+
+def _chunk_for_val(n: int, n_nodes: int, P: int) -> int:
+    """Particles per grid step for the VALUE-ONLY kernel.
+
+    No dvals planes: one walk set + chol buffers -> more lanes than the
+    value+grad variant at the same budget.  Same policy shape as
+    ``_chunk_for_lml``: measured optimum for large P, G-first for small P
+    (C=16 is the measured optimum at every n <= 192: 5.03 / 6.02 ms at
+    caps 160 / 192, PLAN.md round-3).
+    """
+    if _CHUNK_OVERRIDE:
+        return _CHUNK_OVERRIDE
+    per = _scratch_bytes_val(n, n_nodes) + _blk_vmem_bytes(n, n_nodes)
+    budget = _SLACKED_LIMIT
+
+    def _fits(c: int) -> bool:
+        # only the (Pp, 1, 1) core output scales with Pp here — the val
+        # kernel's measured OOM dumps show NO staged-xc term (unlike the
+        # value+grad variant)
+        Pp_c = -(-P // c) * c
+        return c * per + Pp_c * 128 * 4 <= budget
+
+    if P > 32:
+        c = 16
+        while c > 1 and not _fits(c):
+            c //= 2
+        return c
+    for G in range(1, P + 1):
+        c = -(-P // G)
+        if c <= 32 and _fits(c):
             return c
     return 1
 
@@ -422,34 +483,7 @@ def _val_call_impl(types, params, diagv, mask, x, ym, interpret):
 
     P, N = types.shape
     n = x.shape[1]
-    # no dvals planes: one walk set + chol buffers -> more lanes than the
-    # value+grad variant at the same budget.  Same policy shape as
-    # _chunk_for_lml: measured optimum for large P, G-first for small P.
-    per = _scratch_bytes_val(n, N) + _blk_vmem_bytes(n, N)
-    budget = mega._VMEM_LIMIT - 4 * 1024 * 1024
-
-    def _fits(c: int) -> bool:
-        # only the (Pp, 1, 1) core output scales with Pp here — the val
-        # kernel's measured OOM dumps show NO staged-xc term (unlike the
-        # value+grad variant)
-        Pp_c = -(-P // c) * c
-        return c * per + Pp_c * 128 * 4 <= budget
-
-    C = _CHUNK_OVERRIDE
-    if not C:
-        if P > 32:
-            # C=16 is the measured optimum at every n <= 192 (5.03 /
-            # 6.02 ms at caps 160 / 192, PLAN.md round-3)
-            C = 16
-            while C > 1 and not _fits(C):
-                C //= 2
-        else:
-            C = 1
-            for G in range(1, P + 1):
-                c = -(-P // G)
-                if c <= 32 and _fits(c):
-                    C = c
-                    break
+    C = _chunk_for_val(n, N, P)
     flags, info, xc, xr, G, Pp, n_pad = mega._pack(types, params, x, C)
     if Pp != P:
         pad = Pp - P
@@ -602,3 +636,17 @@ def _vjp_bwd(res, c):
 
 
 lml_core_fused.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def lml_core_fused_val(types, params, diagv, mask, x, ym):
+    """Value-only fused LML core — NOT differentiable.
+
+    Runs the same ``_fwd_steps`` instruction sequence as ``lml_core_fused``
+    (bit-identical values) but with no custom VJP, for callers that never
+    take gradients (SMC reweights, accept ratios, predict) at shapes where
+    the value+grad kernel's VMEM footprint doesn't fit but the value-only
+    one does (``megalml_fits_val``).  Differentiating through this raises a
+    loud Pallas AD error rather than silently launching a predicted-OOM
+    value+grad program.
+    """
+    return _val_call(types, params, diagv, mask, x, ym, mega._INTERPRET)

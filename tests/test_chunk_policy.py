@@ -101,9 +101,25 @@ def test_megalml_fits_population_scaling():
     # the fit's dominant regimes and the flattened nowcast panel all fit
     assert ml.megalml_fits(31, 160, 200)
     assert ml.megalml_fits(31, 160, 2000)
-    assert ml.megalml_fits(31, 512, 200)
+    # (31, 512, 200) predicts 92 MB — inside the ~10 MB band where the
+    # footprint model is known inexact, so the slacked gate rejects the
+    # value+grad launch (ADVICE r3); the value-only variant still fits,
+    # so value callers (reweight/predict) keep the fused kernel there.
+    assert not ml.megalml_fits(31, 512, 200)
+    assert ml.megalml_fits_val(31, 512, 200)
     # outside the static envelope it is False regardless of P
     assert not ml.megalml_fits(31, 544, 1)
+    assert not ml.megalml_fits_val(31, 544, 1)
+
+
+def test_fits_val_at_least_as_permissive():
+    """The value-only footprint is a strict subset of the value+grad one,
+    so at any shape the gates agree or only the val gate approves."""
+    for N in (31, 63):
+        for n in (32, 96, 160, 192, 256, 320, 416, 512):
+            for P in (2, 24, 32, 200, 1000, 2000):
+                if ml.megalml_fits(N, n, P):
+                    assert ml.megalml_fits_val(N, n, P), (N, n, P)
 
 
 @pytest.mark.parametrize("P", [2, 8, 24, 32])
@@ -115,7 +131,7 @@ def test_small_p_minimizes_grid_steps(P, n):
     N = 31
     C = ml._chunk_for_lml(n, N, P)
     per = ml._scratch_bytes_per_lane(n, N) + ml._blk_vmem_bytes(n, N)
-    budget = mega._VMEM_LIMIT - 4 * 1024 * 1024
+    budget = ml._SLACKED_LIMIT
 
     def fits(c):
         Pp = -(-P // c) * c

@@ -67,10 +67,13 @@ def main() -> None:
 
     import bench
 
-    results: dict = {"target_s": 60.0, "n_leapfrog": bench.N_LEAPFROG}
+    results: dict = {}
     if os.path.exists(args.out):  # merge: keep rows from earlier runs
         with open(args.out) as f:
             results.update(json.load(f))
+    # fresh metadata OVERLAYS the stale file's, so rows measured now are
+    # recorded under the current bench operating point
+    results.update({"target_s": 60.0, "n_leapfrog": bench.N_LEAPFROG})
     for name in args.configs:
         kw = CONFIGS[name]
         bench.run(seed=1, **kw)  # warm-up: compile at identical shapes
@@ -84,8 +87,10 @@ def main() -> None:
         results[name] = rows
         with open(args.out, "w") as f:  # checkpoint after each config
             json.dump(results, f, indent=1)
+            f.write("\n")
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)
+        f.write("\n")
     print(json.dumps(results))
 
 
