@@ -65,6 +65,52 @@ def propose_batch(rng: np.random.Generator, node_types: np.ndarray,
     return new_types, new_params, log_h, pri
 
 
+def _structure_move_body(
+    types_old, types_prop, params_old, params_prop,
+    pri_old, pri_prop, log_hastings, log_noise, lml_old,
+    x, y, mask, key, eps_scale, *,
+    n_hmc, n_leapfrog, step_size, step_jitter,
+    jitter=DEFAULT_JITTER, noise_mu=-2.0, noise_sigma=1.0, infer_noise=1.0,
+    lml_backend=None,
+):
+    """Unjitted structure-move step body with purely ROW-shaped outputs.
+
+    Shared by the single-device jit wrapper (``structure_move_device``)
+    and the multi-chip ``jax.shard_map`` wrapper
+    (``parallel.sharding.structure_move_sharded``) — every output carries
+    the leading particle axis (the HMC acceptance comes back per row, not
+    as a batch mean), so the same body is legal under a row-sharding
+    ``out_specs`` where a cross-shard scalar would need a collective.
+    """
+    P = params_old.shape[0]
+    k_acc, k_hmc = jax.random.split(key)
+
+    lml_prop = gp_lml_batched(
+        types_prop, params_prop, log_noise, x, y, mask, jitter,
+        backend=lml_backend, for_grad=False,
+    )
+    logit = lml_prop - lml_old + log_hastings
+    accept = jnp.log(jax.random.uniform(k_acc, (P,))) < logit
+
+    types = jnp.where(accept[:, None], types_prop, types_old)
+    params = jnp.where(accept[:, None, None], params_prop, params_old)
+    mu = jnp.where(accept[:, None, None], pri_prop[0], pri_old[0])
+    sigma = jnp.where(accept[:, None, None], pri_prop[1], pri_old[1])
+    active = jnp.where(accept[:, None, None], pri_prop[2], pri_old[2])
+    lml = jnp.where(accept, lml_prop, lml_old)
+
+    if n_hmc > 0:
+        params, log_noise, lml, rate_rows, eps_scale, _ = _hmc_batched(
+            types, params, log_noise, mu, sigma, active, x, y, mask, k_hmc,
+            eps_scale, n_hmc, n_leapfrog, step_size, step_jitter,
+            jitter, noise_mu, noise_sigma, infer_noise,
+            lml_backend=lml_backend,
+        )
+    else:
+        rate_rows = jnp.zeros(P, jnp.float32)
+    return accept, types, params, log_noise, lml, rate_rows, eps_scale
+
+
 @partial(jax.jit, static_argnames=("n_hmc", "n_leapfrog", "lml_backend"))
 def structure_move_device(
     types_old, types_prop, params_old, params_prop,
@@ -83,33 +129,17 @@ def structure_move_device(
     Returns (accept, types, params, log_noise, lml, hmc_accept_rate,
     eps_scale).
     """
-    P = params_old.shape[0]
-    k_acc, k_hmc = jax.random.split(key)
-
-    lml_prop = gp_lml_batched(
-        types_prop, params_prop, log_noise, x, y, mask, jitter,
-        backend=lml_backend,
+    (accept, types, params, log_noise, lml, rate_rows,
+     eps_scale) = _structure_move_body(
+        types_old, types_prop, params_old, params_prop,
+        pri_old, pri_prop, log_hastings, log_noise, lml_old,
+        x, y, mask, key, eps_scale,
+        n_hmc=n_hmc, n_leapfrog=n_leapfrog, step_size=step_size,
+        step_jitter=step_jitter, jitter=jitter, noise_mu=noise_mu,
+        noise_sigma=noise_sigma, infer_noise=infer_noise,
+        lml_backend=lml_backend,
     )
-    logit = lml_prop - lml_old + log_hastings
-    accept = jnp.log(jax.random.uniform(k_acc, (P,))) < logit
-
-    types = jnp.where(accept[:, None], types_prop, types_old)
-    params = jnp.where(accept[:, None, None], params_prop, params_old)
-    mu = jnp.where(accept[:, None, None], pri_prop[0], pri_old[0])
-    sigma = jnp.where(accept[:, None, None], pri_prop[1], pri_old[1])
-    active = jnp.where(accept[:, None, None], pri_prop[2], pri_old[2])
-    lml = jnp.where(accept, lml_prop, lml_old)
-
-    if n_hmc > 0:
-        params, log_noise, lml, acc_rate, eps_scale, _ = _hmc_batched(
-            types, params, log_noise, mu, sigma, active, x, y, mask, k_hmc,
-            eps_scale, n_hmc, n_leapfrog, step_size, step_jitter,
-            jitter, noise_mu, noise_sigma, infer_noise,
-            lml_backend=lml_backend,
-        )
-        hmc_rate = jnp.mean(acc_rate)
-    else:
-        hmc_rate = jnp.float32(0.0)
+    hmc_rate = jnp.mean(rate_rows) if n_hmc > 0 else jnp.float32(0.0)
     return accept, types, params, log_noise, lml, hmc_rate, eps_scale
 
 
@@ -117,33 +147,50 @@ def mcmc_structure_sweep(
     rng, key, host_types, params, log_noise, lml, x, y, mask,
     config: GPConfig, n_mcmc: int, n_hmc: int, hmc_cfg, jitter,
     noise_mu, noise_sigma, infer_noise, eps_scale=None, lml_backend=None,
+    mesh=None,
 ):
     """Run ``n_mcmc`` structure moves (each followed by ``n_hmc`` HMC steps).
 
     ``host_types`` is the host-side numpy mirror of the trees (the host owns
     structure state so it can build the next proposal); device state arrays
     are returned along with the updated mirror and acceptance statistics.
+    ``mesh``: a >1-device ``jax.sharding.Mesh`` routes each move through
+    ``parallel.sharding.structure_move_sharded`` — one single-device
+    program per row shard, each keeping the fused Pallas kernels
+    (``lml_backend`` is then ignored; the per-shard dispatch decides).
     """
     pri_old = prior_arrays(host_types, config)
     if eps_scale is None:
         eps_scale = jnp.ones(host_types.shape[0], jnp.float32)
+    use_sharded = mesh is not None and mesh.devices.size > 1
+    if use_sharded:
+        from ..parallel.sharding import structure_move_sharded
     accepts = []
     for _ in range(n_mcmc):
         types_prop, params_prop, log_h, pri_prop = propose_batch(
             rng, host_types, np.asarray(params), config
         )
         key, sub = jax.random.split(key)
-        (accept, types_d, params, log_noise, lml, _,
-         eps_scale) = structure_move_device(
+        step_args = (
             jnp.asarray(host_types), jnp.asarray(types_prop),
             jnp.asarray(params), jnp.asarray(params_prop),
             tuple(map(jnp.asarray, pri_old)), tuple(map(jnp.asarray, pri_prop)),
             jnp.asarray(log_h), log_noise, lml, x, y, mask, sub, eps_scale,
+        )
+        step_kw = dict(
             n_hmc=n_hmc, n_leapfrog=hmc_cfg.n_leapfrog,
             step_size=hmc_cfg.step_size, step_jitter=hmc_cfg.step_size_jitter,
             jitter=jitter, noise_mu=noise_mu, noise_sigma=noise_sigma,
-            infer_noise=infer_noise, lml_backend=lml_backend,
+            infer_noise=infer_noise,
         )
+        if use_sharded:
+            (accept, types_d, params, log_noise, lml, _,
+             eps_scale) = structure_move_sharded(
+                *step_args, mesh=mesh, **step_kw)
+        else:
+            (accept, types_d, params, log_noise, lml, _,
+             eps_scale) = structure_move_device(
+                *step_args, lml_backend=lml_backend, **step_kw)
         acc_np = np.asarray(accept)
         host_types = np.where(acc_np[:, None], types_prop, host_types).astype(np.int32)
         pri_old = tuple(

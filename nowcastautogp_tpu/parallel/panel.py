@@ -13,12 +13,15 @@ Series are annealed on a shared proportion grid (each step conditions
 index math, one device gather), and with a `jax.sharding.Mesh` the row axis
 shards across chips with zero cross-series collectives.
 
-Backend note: a Pallas program cannot be partitioned across a mesh, so the
-reweight path pins the pure-XLA LML (``gp_lml_batch_sharded``) and, when
-``mesh`` spans more than one device, the rejuvenation sweep passes
-``lml_backend="jnp"`` down the stack (a trace-time static argument, so the
-pin is part of each program's jit cache key — no global-state flip is
-needed and single-chip fits at the same shapes keep their fused programs).
+Backend note: a Pallas program cannot be partitioned across a mesh by
+GSPMD, so when ``mesh`` spans more than one device every hot call
+(reweight LML, structure-move accept, HMC) goes through the
+``jax.shard_map`` wrappers in ``.sharding`` — one SINGLE-DEVICE program
+per row shard, inside which the full fused-kernel dispatch is legal.
+Multi-chip therefore scales the SAME fused megacov/megalml engine as
+single-chip fits (round 3 pinned ``lml_backend="jnp"`` here, forfeiting
+the ~5-6x fused speedup; see tests/test_parallel.py for the per-shard
+equivalence suite).
 """
 
 from __future__ import annotations
@@ -37,13 +40,13 @@ from ..models.gp_model import GPModel, _PAD, _pad_to, normalized_weights
 from ..models.posterior import MvNormalMixture
 from ..models.structures import prior_arrays, sample_particle
 from ..ops.lml import (
-    DEFAULT_JITTER, gp_lml_batch_sharded, gp_predict_batch_rows,
+    DEFAULT_JITTER, gp_lml_batch, gp_predict_batch_rows,
     sampling_cholesky,
 )
 from ..fitting import _stabilize_for_fit
 from ..utils.apply import apply_elementwise
 from ..utils.dates import dates_to_float
-from .sharding import shard_rows
+from .sharding import lml_rows_sharded, run_hmc_sharded, shard_rows
 
 __all__ = ["fit_panel", "panel_predict_mvn", "forecast_panel"]
 
@@ -127,9 +130,10 @@ def fit_panel(
     noise_mu, noise_sigma = float(wc["mu"]) - 2.0, float(wc["sigma"])
     infer = 0.0 if config.noise is not None else 1.0
 
-    # multi-device mesh ⇒ every LML in the sweep must be SPMD-partitionable
-    lml_backend = (
-        "jnp" if mesh is not None and mesh.devices.size > 1 else None
+    # multi-device mesh ⇒ route every hot call through the shard_map
+    # wrappers (per-shard fused kernels); single-device keeps plain jit
+    sweep_mesh = (
+        mesh if mesh is not None and mesh.devices.size > 1 else None
     )
 
     # ---- shared proportion grid: anneal every series together
@@ -142,10 +146,16 @@ def fit_panel(
     for f in fractions:
         n_new = np.minimum(np.ceil(f * lens_row).astype(np.int64), lens_row)
         mask_b = jnp.asarray((iota[None, :] < n_new[:, None]).astype(np.float32))
-        lml_new = gp_lml_batch_sharded(
-            jnp.asarray(host_types), params, log_noise, x_b, y_b, mask_b,
-            DEFAULT_JITTER,
-        )
+        if sweep_mesh is not None:
+            lml_new = lml_rows_sharded(
+                jnp.asarray(host_types), params, log_noise, x_b, y_b,
+                mask_b, mesh=sweep_mesh,
+            )
+        else:
+            lml_new = gp_lml_batch(
+                jnp.asarray(host_types), params, log_noise, x_b, y_b,
+                mask_b, DEFAULT_JITTER, for_grad=False,
+            )
         lml_new_np = np.asarray(lml_new, np.float64)
         lml_old_np = np.asarray(lml, np.float64)
         # sentinel guard: a particle broken on either side of the reweight
@@ -177,23 +187,35 @@ def fit_panel(
                 rng, key, host_types, params, log_noise, lml, x_b, y_b, mask_b,
                 config, n_mcmc, n_hmc, hmc_cfg, DEFAULT_JITTER,
                 noise_mu, noise_sigma, infer, eps_scale=eps_scale,
-                lml_backend=lml_backend,
+                mesh=sweep_mesh,
             )
         elif do_rejuvenate and n_hmc > 0:
-            from ..inference.hmc import run_hmc
-
             mu, sg, act = (jnp.asarray(a) for a in
                            prior_arrays(host_types, config))
             key, sub = jax.random.split(key)
-            params, log_noise, lml, _, eps_scale = run_hmc(
-                jnp.asarray(host_types), params, log_noise, mu, sg, act,
-                x_b, y_b, mask_b, sub,
-                n_steps=n_hmc, n_leapfrog=hmc_cfg.n_leapfrog,
-                step_size=hmc_cfg.step_size, step_jitter=hmc_cfg.step_size_jitter,
-                jitter=DEFAULT_JITTER, noise_mu=noise_mu,
-                noise_sigma=noise_sigma, infer_noise=infer,
-                eps_scale=eps_scale, lml_backend=lml_backend,
-            )
+            if sweep_mesh is not None:
+                params, log_noise, lml, _, eps_scale = run_hmc_sharded(
+                    jnp.asarray(host_types), params, log_noise, mu, sg, act,
+                    x_b, y_b, mask_b, sub, eps_scale, mesh=sweep_mesh,
+                    n_steps=n_hmc, n_leapfrog=hmc_cfg.n_leapfrog,
+                    step_size=hmc_cfg.step_size,
+                    step_jitter=hmc_cfg.step_size_jitter,
+                    jitter=DEFAULT_JITTER, noise_mu=noise_mu,
+                    noise_sigma=noise_sigma, infer_noise=infer,
+                )
+            else:
+                from ..inference.hmc import run_hmc
+
+                params, log_noise, lml, _, eps_scale = run_hmc(
+                    jnp.asarray(host_types), params, log_noise, mu, sg, act,
+                    x_b, y_b, mask_b, sub,
+                    n_steps=n_hmc, n_leapfrog=hmc_cfg.n_leapfrog,
+                    step_size=hmc_cfg.step_size,
+                    step_jitter=hmc_cfg.step_size_jitter,
+                    jitter=DEFAULT_JITTER, noise_mu=noise_mu,
+                    noise_sigma=noise_sigma, infer_noise=infer,
+                    eps_scale=eps_scale,
+                )
 
     # ---- split rows back into per-series GPModels
     params_np = np.asarray(params)

@@ -22,10 +22,14 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.lml import DEFAULT_JITTER, gp_lml_impl
-from ..inference.hmc import _hmc_single
+from ..ops.lml import DEFAULT_JITTER, gp_lml_batched, gp_lml_impl
+from ..inference.hmc import _hmc_batched, _hmc_single
+from ..inference.structure_mcmc import _structure_move_body
 
-__all__ = ["make_mesh", "shard_rows", "panel_smc_step"]
+__all__ = [
+    "make_mesh", "shard_rows", "panel_smc_step",
+    "lml_rows_sharded", "structure_move_sharded", "run_hmc_sharded",
+]
 
 
 def make_mesh(n_devices: int | None = None, axis_name: str = "series") -> Mesh:
@@ -52,6 +56,124 @@ def shard_rows(tree, mesh: Mesh, axis_name: str = "series"):
         return jax.device_put(a, repl)
 
     return jax.tree_util.tree_map(put, tree)
+
+
+# ---------------------------------------------------------------------------
+# shard_map wrappers: multi-chip WITHOUT forfeiting the fused Pallas kernels.
+#
+# A ``pallas_call`` cannot be partitioned by GSPMD, so a pjit program over a
+# >1-device mesh must pin the ~5-6x-slower pure-XLA LML (round-3 shipped
+# state).  ``jax.shard_map`` instead runs ONE SINGLE-DEVICE PROGRAM PER
+# SHARD of the row axis — inside the body the full backend dispatch
+# (``ops/lml.py``) is legal, so each chip keeps the fused megacov/megalml
+# kernels at its local P = R / n_devices rows.  Per-series GP work needs no
+# cross-series communication, so the bodies contain zero collectives; the
+# only mesh-wide coupling is the replicated PRNG key, which every body
+# folds with its ``axis_index`` so shards draw independent randomness.
+# ---------------------------------------------------------------------------
+
+
+def _row_specs(n, axis_name):
+    return tuple([P(axis_name)] * n)
+
+
+@partial(jax.jit, static_argnames=("mesh", "axis_name"))
+def lml_rows_sharded(types, params, log_noise, x, y, mask, *,
+                     mesh, axis_name="series"):
+    """Row-sharded batched masked LML with per-shard backend dispatch.
+
+    Replaces the pjit-path ``gp_lml_batch_sharded`` pin for >1-device
+    meshes: each shard evaluates its local rows through the full fused
+    dispatch (value-only).  Bit-equal to the unsharded ``gp_lml_batched``
+    on the same backend — the computation is purely per-row.
+    """
+    spec = P(axis_name)
+
+    def body(t, p, ln, xb, yb, mb):
+        return gp_lml_batched(t, p, ln, xb, yb, mb, DEFAULT_JITTER,
+                              for_grad=False)
+
+    # check_vma=False: the body is collective-free per-row compute, and
+    # pallas_call outputs carry no `vma` annotation for the checker
+    return jax.shard_map(
+        body, mesh=mesh, in_specs=_row_specs(6, axis_name),
+        out_specs=spec, check_vma=False,
+    )(types, params, log_noise, x, y, mask)
+
+
+@partial(jax.jit, static_argnames=(
+    "mesh", "axis_name", "n_hmc", "n_leapfrog"))
+def structure_move_sharded(
+    types_old, types_prop, params_old, params_prop,
+    pri_old, pri_prop, log_hastings, log_noise, lml_old,
+    x, y, mask, key, eps_scale, *,
+    mesh, n_hmc, n_leapfrog, step_size, step_jitter,
+    jitter=DEFAULT_JITTER, noise_mu=-2.0, noise_sigma=1.0, infer_noise=1.0,
+    axis_name="series",
+):
+    """``structure_move_device`` over a mesh, one fused program per shard.
+
+    Same step semantics (proposal LML -> MH accept -> select -> n_hmc HMC
+    trajectories, ``inference/structure_mcmc.py``) with the per-shard
+    program free to use the fused Pallas kernels.  The replicated ``key``
+    is folded with the shard index, so the accept/momentum randomness is
+    independent across shards (the RNG stream therefore differs from the
+    single-device path at the same seed; equivalence is per-shard exact —
+    see ``tests/test_parallel.py``).  Returns per-ROW outputs including
+    the per-row HMC acceptance rate.
+    """
+    spec = P(axis_name)
+
+    def body(to, tp, po, pp, prio, prip, lh, ln, lml0, xb, yb, mb, es, k):
+        k = jax.random.fold_in(k, jax.lax.axis_index(axis_name))
+        return _structure_move_body(
+            to, tp, po, pp, prio, prip, lh, ln, lml0, xb, yb, mb, k, es,
+            n_hmc=n_hmc, n_leapfrog=n_leapfrog, step_size=step_size,
+            step_jitter=step_jitter, jitter=jitter, noise_mu=noise_mu,
+            noise_sigma=noise_sigma, infer_noise=infer_noise,
+        )
+
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=_row_specs(13, axis_name) + (P(),),
+        out_specs=tuple([spec] * 7), check_vma=False,
+    )(types_old, types_prop, params_old, params_prop, pri_old, pri_prop,
+      log_hastings, log_noise, lml_old, x, y, mask, eps_scale, key)
+
+
+@partial(jax.jit, static_argnames=(
+    "mesh", "axis_name", "n_steps", "n_leapfrog"))
+def run_hmc_sharded(
+    types, params, log_noise, prior_mu, prior_sigma, prior_active,
+    x, y, mask, key, eps_scale, *,
+    mesh, n_steps, n_leapfrog, step_size, step_jitter,
+    jitter=DEFAULT_JITTER, noise_mu=-2.0, noise_sigma=1.0, infer_noise=1.0,
+    axis_name="series",
+):
+    """Row-sharded batched HMC (the panel's HMC-only rejuvenation path).
+
+    One ``_hmc_batched`` program per shard — the fused value+grad LML
+    kernel powers every leapfrog step chip-locally.  Key folding as in
+    :func:`structure_move_sharded`.  Returns (params, log_noise, lml,
+    rate_rows, eps_scale), all row-shaped.
+    """
+    spec = P(axis_name)
+
+    def body(t, p, ln, mu, sg, act, xb, yb, mb, es, k):
+        k = jax.random.fold_in(k, jax.lax.axis_index(axis_name))
+        p2, ln2, lml, rate_rows, es2, _ = _hmc_batched(
+            t, p, ln, mu, sg, act, xb, yb, mb, k, es,
+            n_steps, n_leapfrog, step_size, step_jitter,
+            jitter, noise_mu, noise_sigma, infer_noise,
+        )
+        return p2, ln2, lml, rate_rows, es2
+
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=_row_specs(10, axis_name) + (P(),),
+        out_specs=tuple([spec] * 5), check_vma=False,
+    )(types, params, log_noise, prior_mu, prior_sigma, prior_active,
+      x, y, mask, eps_scale, key)
 
 
 @partial(jax.jit, static_argnames=("n_hmc", "n_leapfrog"))

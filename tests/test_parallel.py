@@ -182,7 +182,7 @@ class TestPanel:
         #1: guard was missing from the panel reweight)."""
         from nowcastautogp_tpu.parallel import panel as panel_mod
 
-        real_lml = panel_mod.gp_lml_batch_sharded
+        real_lml = panel_mod.gp_lml_batch
         calls = {"n": 0}
 
         def broken_first(*args, **kw):
@@ -200,7 +200,7 @@ class TestPanel:
             recorded.append((np.array(log_w, np.float64), np.array(idx)))
             return idx
 
-        monkeypatch.setattr(panel_mod, "gp_lml_batch_sharded", broken_first)
+        monkeypatch.setattr(panel_mod, "gp_lml_batch", broken_first)
         monkeypatch.setattr(panel_mod, "resample_indices", recording_resample)
         datasets = _panel(1, seed=12)
         models = fit_panel(
@@ -233,6 +233,183 @@ class TestPanel:
         ngp.add_data(m, new_dates, [m.y[-1], m.y[-1]])
         assert m.n_ingested == before + 2
         assert np.all(np.isfinite(m.log_weight))
+
+
+def _rows(R, cap, seed=0, depth=4, n_active=None):
+    """Per-row particle states + genuinely distinct per-row data buffers."""
+    from nowcastautogp_tpu.models.config import GPConfig
+    from nowcastautogp_tpu.models.structures import sample_particle
+
+    cfg = GPConfig(max_depth=depth)
+    rng = np.random.default_rng(seed)
+    ts, ps, lns = zip(*(sample_particle(rng, cfg) for _ in range(R)))
+    types = np.stack(ts).astype(np.int32)
+    params = jnp.asarray(np.stack(ps).astype(np.float32))
+    log_noise = jnp.asarray(np.asarray(lns, np.float32))
+    x = jnp.asarray(np.broadcast_to(
+        np.linspace(0, 1, cap), (R, cap)).astype(np.float32))
+    y = jnp.asarray(rng.normal(0.0, 1.0, size=(R, cap)).astype(np.float32))
+    na = cap if n_active is None else n_active
+    mask = jnp.asarray(np.broadcast_to(
+        (np.arange(cap) < na).astype(np.float32), (R, cap)).copy())
+    return cfg, rng, types, params, log_noise, x, y, mask
+
+
+class TestShardMapFused:
+    """shard_map wrappers (VERDICT r3 item 2): each shard runs a
+    single-device program, so multi-chip keeps the fused Pallas kernels
+    instead of pinning the pure-XLA backend."""
+
+    def test_lml_rows_sharded_matches_unsharded(self):
+        from nowcastautogp_tpu.ops.lml import gp_lml_batch
+        from nowcastautogp_tpu.parallel.sharding import lml_rows_sharded
+
+        mesh = make_mesh(8)
+        _, _, types, params, log_noise, x, y, mask = _rows(16, 64, seed=11)
+        args = (jnp.asarray(types), params, log_noise, x, y, mask)
+        v_sh = lml_rows_sharded(*args, mesh=mesh)
+        v_ref = gp_lml_batch(*args, for_grad=False)
+        np.testing.assert_allclose(np.asarray(v_sh), np.asarray(v_ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_lml_rows_sharded_fused_kernel_per_shard(self):
+        """The compositional claim itself: a pallas_call (interpret mode on
+        CPU) is legal INSIDE the shard_map body and matches the pure-XLA
+        reference — this is what GSPMD-partitioned pjit cannot do."""
+        from nowcastautogp_tpu.ops import lml as lml_mod
+        from nowcastautogp_tpu.ops import pallas_megacov as mega
+        from nowcastautogp_tpu.ops.lml import gp_lml_batched
+        from nowcastautogp_tpu.parallel.sharding import lml_rows_sharded
+
+        mesh = make_mesh(8)
+        # cap=96 -> fresh jit cache entry, so the backend flip is seen
+        _, _, types, params, log_noise, x, y, mask = _rows(
+            16, 96, seed=12, n_active=80)
+        args = (jnp.asarray(types), params, log_noise, x, y, mask)
+        mega.set_interpret_mode(True)
+        lml_mod.set_lml_backend("mega")
+        try:
+            v_sh = np.asarray(lml_rows_sharded(*args, mesh=mesh))
+        finally:
+            lml_mod.set_lml_backend("auto")
+            mega.set_interpret_mode(False)
+        v_jnp = np.asarray(gp_lml_batched(*args, backend="jnp"))
+        np.testing.assert_allclose(v_sh, v_jnp, rtol=2e-4, atol=2e-4)
+
+    def test_structure_move_sharded_matches_per_shard_emulation(self):
+        """8-device shard_map step == concatenation of 8 single-device
+        body runs on the row slices with the per-shard folded keys."""
+        from nowcastautogp_tpu.inference.structure_mcmc import (
+            _structure_move_body, propose_batch,
+        )
+        from nowcastautogp_tpu.models.structures import prior_arrays
+        from nowcastautogp_tpu.parallel.sharding import structure_move_sharded
+
+        n_dev = 8
+        mesh = make_mesh(n_dev)
+        R, cap = 16, 64
+        cfg, rng, types, params, log_noise, x, y, mask = _rows(
+            R, cap, seed=13, n_active=48)
+        pri = tuple(map(jnp.asarray, prior_arrays(types, cfg)))
+        types_prop, params_prop, log_h, pri_prop = propose_batch(
+            rng, types, np.asarray(params), cfg)
+        pri_prop = tuple(map(jnp.asarray, pri_prop))
+        lml0 = jnp.zeros(R, jnp.float32)
+        eps = jnp.ones(R, jnp.float32)
+        key = jax.random.PRNGKey(21)
+        kw = dict(n_hmc=2, n_leapfrog=3, step_size=0.02, step_jitter=0.5)
+
+        out_sh = structure_move_sharded(
+            jnp.asarray(types), jnp.asarray(types_prop), params,
+            jnp.asarray(params_prop), pri, pri_prop, jnp.asarray(log_h),
+            log_noise, lml0, x, y, mask, key, eps, mesh=mesh, **kw)
+
+        shard = R // n_dev
+        expected = []
+        for i in range(n_dev):
+            sl = slice(i * shard, (i + 1) * shard)
+            out_i = _structure_move_body(
+                jnp.asarray(types[sl]), jnp.asarray(types_prop[sl]),
+                params[sl], jnp.asarray(params_prop[sl]),
+                tuple(p[sl] for p in pri), tuple(p[sl] for p in pri_prop),
+                jnp.asarray(log_h[sl]), log_noise[sl], lml0[sl],
+                x[sl], y[sl], mask[sl], jax.random.fold_in(key, i), eps[sl],
+                **kw)
+            expected.append(out_i)
+        for j, name in enumerate(
+                ["accept", "types", "params", "log_noise", "lml",
+                 "rate_rows", "eps_scale"]):
+            got = np.asarray(out_sh[j])
+            want = np.concatenate([np.asarray(e[j]) for e in expected])
+            # tolerance: SPMD-compiled body vs single-device compile differ
+            # by f32 scheduling noise that the leapfrog integrator amplifies
+            # (measured max ~2e-4); accept bits and structure are exact
+            np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-3,
+                                       err_msg=name)
+
+    def test_run_hmc_sharded_matches_per_shard_emulation(self):
+        from nowcastautogp_tpu.inference.hmc import _hmc_batched
+        from nowcastautogp_tpu.models.structures import prior_arrays
+        from nowcastautogp_tpu.parallel.sharding import run_hmc_sharded
+
+        n_dev = 8
+        mesh = make_mesh(n_dev)
+        R, cap = 16, 64
+        cfg, rng, types, params, log_noise, x, y, mask = _rows(
+            R, cap, seed=14, n_active=56)
+        mu, sg, act = (jnp.asarray(a) for a in prior_arrays(types, cfg))
+        eps = jnp.ones(R, jnp.float32)
+        key = jax.random.PRNGKey(31)
+        kw = dict(n_steps=2, n_leapfrog=3, step_size=0.02, step_jitter=0.5)
+
+        out_sh = run_hmc_sharded(
+            jnp.asarray(types), params, log_noise, mu, sg, act,
+            x, y, mask, key, eps, mesh=mesh, **kw)
+
+        shard = R // n_dev
+        expected = []
+        for i in range(n_dev):
+            sl = slice(i * shard, (i + 1) * shard)
+            p2, ln2, lml, rate, es2, _ = _hmc_batched(
+                jnp.asarray(types[sl]), params[sl], log_noise[sl],
+                mu[sl], sg[sl], act[sl], x[sl], y[sl], mask[sl],
+                jax.random.fold_in(key, i), eps[sl],
+                kw["n_steps"], kw["n_leapfrog"], kw["step_size"],
+                kw["step_jitter"], 1e-5, -2.0, 1.0, 1.0)
+            expected.append((p2, ln2, lml, rate, es2))
+        for j, name in enumerate(
+                ["params", "log_noise", "lml", "rate_rows", "eps_scale"]):
+            got = np.asarray(out_sh[j])
+            want = np.concatenate([np.asarray(e[j]) for e in expected])
+            # tolerance: SPMD-compiled body vs single-device compile differ
+            # by f32 scheduling noise that the leapfrog integrator amplifies
+            # (measured max ~2e-4); accept bits and structure are exact
+            np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-3,
+                                       err_msg=name)
+
+    def test_fit_panel_multidevice_runs_sharded_sweep(self, monkeypatch):
+        """fit_panel with a >1-device mesh must route rejuvenation through
+        the shard_map step (not the lml_backend='jnp' pjit pin)."""
+        from nowcastautogp_tpu.inference import structure_mcmc as sm_mod
+        from nowcastautogp_tpu.parallel import sharding as sh_mod
+
+        calls = {"sharded": 0}
+        real = sh_mod.structure_move_sharded
+
+        def counting(*a, **kw):
+            calls["sharded"] += 1
+            return real(*a, **kw)
+
+        monkeypatch.setattr(sh_mod, "structure_move_sharded", counting)
+        mesh = make_mesh(4)
+        datasets = _panel(4, seed=21)
+        models = fit_panel(
+            datasets, n_particles=2, smc_data_proportion=0.5,
+            n_mcmc=1, n_hmc=1, seed=22, mesh=mesh,
+        )
+        assert calls["sharded"] > 0
+        for m in models:
+            assert np.all(np.isfinite(np.asarray(m._lml_d)))
 
 
 class TestPanelForecast:
