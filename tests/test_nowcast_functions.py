@@ -122,6 +122,21 @@ class TestForecastWithNowcasts:
         for k in ("node_types", "params", "log_noise", "log_weight", "y",
                   "order", "n_ingested"):
             np.testing.assert_array_equal(np.asarray(before[k]), np.asarray(after[k]))
+        # the contract is STRICT (reference src/forecasting.jl:128-133):
+        # scenario randomness is derived by hashing, not advancing, the
+        # base state — RNG and JAX key must be bit-identical too
+        assert before["rng_state"] == after["rng_state"]
+        np.testing.assert_array_equal(before["key"], after["key"])
+
+    def test_repeat_call_reproduces(self, base):
+        """With a pure (non-advancing) randomness derivation, an identical
+        repeated call reproduces identical draws."""
+        model, fwd, inv, obs, nc_dates, f_dates = base
+        ncs = self._scenarios(base, 2)
+        kw = dict(inv_transformation=inv, n_mcmc=0, n_hmc=1)
+        fc1 = ngp.forecast_with_nowcasts(model, ncs, f_dates, 2, **kw)
+        fc2 = ngp.forecast_with_nowcasts(model, ncs, f_dates, 2, **kw)
+        np.testing.assert_array_equal(fc1, fc2)
 
     def test_assertion_violations(self, base):
         model, fwd, inv, obs, nc_dates, f_dates = base

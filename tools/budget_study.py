@@ -84,7 +84,39 @@ def seir_wave(n, seed):
     return np.maximum(obs, 1.0)
 
 
-FAMILIES = {"nhsn_like": nhsn_like, "seir_wave": seir_wave}
+def outbreak_cp(n, seed):
+    """Third family (VERDICT r3 item 9): outbreak + decay with hard
+    changepoints and irregular noise, authored independently of the bench
+    simulator — no sinusoids, no compartments: piecewise log-linear
+    regimes, a jump discontinuity (reporting-system change), heavy-tailed
+    multiplicative noise, and occasional under-reported weeks."""
+    rng = np.random.default_rng(seed + 40_000)
+    t = np.arange(n)
+    # endemic baseline with a slow random drift slope
+    base = 120.0 * np.exp(0.002 * rng.normal(1.0, 0.3) * t)
+    # outbreak onset in the middle third: fast growth, slower decay
+    t_on = int(rng.integers(n // 3, 2 * n // 3))
+    dur_up = int(rng.integers(6, 14))
+    growth = rng.uniform(0.25, 0.45)
+    decay = rng.uniform(0.06, 0.16)
+    ramp = np.where(
+        t < t_on, 0.0,
+        np.where(t < t_on + dur_up, growth * (t - t_on),
+                 growth * dur_up - decay * (t - t_on - dur_up)))
+    truth = base * np.exp(np.maximum(ramp, 0.0))
+    # reporting-system changepoint: abrupt persistent level shift
+    t_cp = int(rng.integers(n // 6, n - n // 6))
+    truth = truth * np.where(
+        t >= t_cp, np.exp(rng.choice([-1, 1]) * rng.uniform(0.25, 0.5)), 1.0)
+    # irregular noise: student-t multiplicative + rare dropout weeks
+    obs = truth * np.exp(np.clip(0.1 * rng.standard_t(3, size=n), -1.0, 1.0))
+    drop = rng.random(n) < 0.03
+    obs[drop] *= rng.uniform(0.3, 0.6, size=int(drop.sum()))
+    return np.maximum(obs, 1.0)
+
+
+FAMILIES = {"nhsn_like": nhsn_like, "seir_wave": seir_wave,
+            "outbreak_cp": outbreak_cp}
 
 CONFIGS = {
     # the reference's documented canonical workload
