@@ -98,3 +98,22 @@ class TestCanonicalStudyArtifact:
         res = _load("canonical_study_results.json")
         fits = [r["fit_s"] for r in res["24p_100x20_lf5"]]
         assert max(fits) < res.get("target_s", 60.0), fits
+
+
+class TestChangepointStudyArtifact:
+    """tools/changepoint_study_results.json (VERDICT r3 item 4): the engine
+    DISCOVERS changepoint structure end-to-end on regime-shift data, and
+    enabling changepoints costs no forecast accuracy there."""
+
+    def test_discovery_mass_and_gating(self):
+        d = _load("changepoint_study_results.json")
+        assert len(d["rows"]) >= 5
+        # weight-weighted posterior CP mass appears when enabled...
+        assert d["mean_cp_mass"] > 0.1, d
+        assert all(r["cp_mass"] >= 0.0 for r in d["rows"])
+        # ...and is airtight-gated off when disabled
+        assert d["mean_nocp_mass"] == 0.0, d
+
+    def test_no_accuracy_cost(self):
+        d = _load("changepoint_study_results.json")
+        assert d["mean_cp_log_crps"] <= 1.1 * d["mean_nocp_log_crps"], d
