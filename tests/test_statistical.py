@@ -102,6 +102,58 @@ class TestDeepStructureRecovery:
         assert num / den > 0.5, [mm for mm in (num, den)]
 
 
+class TestChangepointRecovery:
+    """End-to-end payoff of the ChangePoint machinery (VERDICT r3 item 4):
+    on regime-shift data the engine places posterior mass on CP structure
+    and forecasts at least as well as a matched changepoints=False fit.
+    The committed TPU-scale companion is tools/changepoint_study.py."""
+
+    def _regime_shift(self, n, seed):
+        # hard mid-series break: upward level jump + growth->decline slope
+        # reversal — the regime smooth kernels extrapolate worst
+        rng = np.random.default_rng(seed)
+        t = np.arange(n)
+        t_cp = n // 2 + int(rng.integers(-4, 5))
+        level = np.where(t < t_cp, 4.0, 6.0)
+        slope = np.where(t < t_cp, 0.004, -0.03) * (t - t_cp)
+        return np.exp(level + slope + 0.05 * rng.standard_normal(n))
+
+    def test_changepoint_discovery_pays_off(self):
+        from nowcastautogp_tpu.models.structures import CP
+
+        n, hor = 72, 8
+        masses = {"cp": [], "nocp": []}
+        crps = {"cp": [], "nocp": []}
+        for seed in range(4):
+            obs = self._regime_shift(n + hor, seed)
+            dates = _dates(n + hor)
+            data = ngp.create_transformed_data(
+                dates[:n], obs[:n], transformation=np.log)
+            for label, cps in (("cp", True), ("nocp", False)):
+                m = ngp.make_and_fit_model(
+                    data, n_particles=16, smc_data_proportion=0.25,
+                    n_mcmc=12, n_hmc=3, seed=100 + seed,
+                    config=ngp.GPConfig(max_depth=4, changepoints=cps))
+                w = np.exp(m.log_weight - m.log_weight.max())
+                w /= w.sum()
+                has_cp = np.array(
+                    [np.any(tt == CP) for tt in m._host_types], dtype=float)
+                masses[label].append(float((w * has_cp).sum()))
+                fc = ngp.forecast(m, dates[n:], 600,
+                                  inv_transformation=lambda v: v)
+                crps[label].append(float(ngp.crps_matrix(
+                    fc, np.log(obs[n:])).mean()))
+        # gating is end-to-end airtight: no CP mass can appear when off
+        assert max(masses["nocp"]) == 0.0, masses
+        # discovery: pooled weighted CP mass appears when enabled
+        # (measured 0.078 pooled over these seeds at this budget)
+        assert float(np.mean(masses["cp"])) > 0.03, masses
+        # payoff: CP-enabled forecasts the break at least as well pooled
+        # (measured 0.125 vs 0.248 — smooth kernels extrapolate the broken
+        # regime badly on some seeds)
+        assert float(np.mean(crps["cp"])) <= float(np.mean(crps["nocp"])), crps
+
+
 class TestCalibration:
     def test_interval_coverage_on_heldout(self):
         rng = np.random.default_rng(123)
