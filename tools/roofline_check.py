@@ -1,0 +1,188 @@
+"""Independent roofline cross-check for the fused LML kernel (VERDICT r3
+weak #6).
+
+The bench's MFU numbers come from XLA's cost model, which counts padded
+lanes and prices a transcendental at 1 FLOP — so ``mfu_vs_vpu_f32`` can
+flatter to an unknown degree.  This tool cross-checks the "VPU-bound by
+design" claim WITHOUT the cost model, by measuring — through the same
+jit/runtime stack on the same chip — three independent capability
+baselines and comparing the fused value+grad kernel's measured eval time
+against the floors they imply:
+
+* ``elementwise``: one fused multiply-add per element, VMEM-resident
+  working sets (the VPU issue-rate proxy);
+* ``transcendental``: one ``exp`` per element (the expensive-op proxy —
+  leaf kernels are exp/sin/pow-heavy);
+* ``stream``: HBM-bandwidth proxy (copy+add over an array far larger than
+  VMEM).
+
+Floors for one fused eval at the bench shape (P=200, cap=160, depth 5),
+computed from THEORETICAL chip ceilings so they are true lower bounds:
+
+* ``t_vpu_floor``  = walk_elements / 3.9e12 — the time for the VPU at its
+  paper issue rate to touch each live compacted walk-plane element once
+  (forward + backward walk).  The real kernel applies a multi-op kernel
+  function per element, so eval_time / t_vpu_floor in the single digits
+  supports "VPU-bound"; a large multiple would refute it.
+* ``t_transcendental_floor`` = walk_elements / measured exp rate — what
+  one transcendental per element would cost through this stack.
+* ``t_hbm_floor``  = hbm_bytes / 819e9 — operands + outputs only
+  (scratch is VMEM-resident by construction).
+
+Writes ``tools/roofline_results.json``.  Run on the TPU:
+
+    python tools/roofline_check.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+P, CAP, DEPTH = 200, 160, 5
+
+# v5e theoretical ceilings (scaling-book numbers): the FLOOR divisors.
+# VPU: 8x128 lanes x 4-wide x ~940 MHz ~= 3.9e12 elementwise ops/s;
+# HBM: 819 GB/s.
+VPU_ELEM_OPS_S = 3.9e12
+HBM_BYTES_S = 819e9
+
+
+def _time_chain(make_scalar, iters=20, reps=3):
+    """Median per-iteration seconds of a data-dependent scan chain.
+
+    ``block_until_ready`` does not synchronize through the axon tunnel
+    (PLAN.md round-2 finding), so timing is scalar-readback over a chained
+    ``lax.scan`` whose carry feeds each iteration — the same methodology as
+    tools/microbench_megalml.py.
+    """
+    from jax import lax
+
+    @jax.jit
+    def chain(seed):
+        def body(carry, _):
+            return jnp.tanh(make_scalar(carry)), None
+
+        c, _ = lax.scan(body, seed, None, length=iters)
+        return c
+
+    float(chain(jnp.float32(1.0)))  # compile
+    best = np.inf
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(chain(jnp.float32(1.0)))
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
+
+
+def main() -> None:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/ngp_jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from nowcastautogp_tpu.models.config import GPConfig
+    from nowcastautogp_tpu.models.structures import EMPTY, sample_particle
+    from nowcastautogp_tpu.ops import lml as lml_mod
+    from nowcastautogp_tpu.ops import pallas_megacov as mega
+
+    cfg = GPConfig(max_depth=DEPTH)
+    rng = np.random.default_rng(0)
+    ts, ps, lns = zip(*(sample_particle(rng, cfg) for _ in range(P)))
+    types = jnp.asarray(np.stack(ts).astype(np.int32))
+    params = jnp.asarray(np.stack(ps).astype(np.float32))
+    log_noise = jnp.asarray(np.asarray(lns, np.float32))
+    x = jnp.asarray(np.broadcast_to(
+        np.linspace(0, 1, CAP), (P, CAP)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(P, CAP)).astype(np.float32))
+    mask = jnp.ones((P, CAP), jnp.float32)
+
+    # --- measured fused value+grad eval (the HMC leapfrog unit of work)
+    def lml_sum(p_, ln_):
+        return jnp.sum(lml_mod.gp_lml_batched(
+            types, p_, ln_, x, y, mask, backend="mega"))
+
+    def eval_scalar(carry):
+        (v, (gp, gn)) = jax.value_and_grad(lml_sum, argnums=(0, 1))(
+            params * (1.0 + 1e-6 * carry), log_noise)
+        return v * 1e-3 + jnp.sum(gp) * 1e-6 + jnp.sum(gn) * 1e-6
+
+    t_eval = _time_chain(eval_scalar)
+
+    # --- walk-work accounting (exact, from the launch's own layout)
+    n_pad = int(np.ceil(CAP / 128)) * 128
+    regions = mega._make_regions(CAP, n_pad)
+    rows_c, width_c, _ = mega._dest_layout(CAP, regions)
+    active_nodes = int(np.sum(np.stack(ts) != EMPTY))  # over all P lanes
+    walk_elems_fwd = active_nodes * rows_c * width_c
+    walk_elems = 2 * walk_elems_fwd  # forward + backward walk
+
+    # HBM per eval: operands (xc, xr via packed buffers, diag/mask/ym rows)
+    # + outputs (core, dp, gdiag, alpha); scratch planes are VMEM-resident
+    hbm_bytes = 4 * (P * (3 * CAP)              # diag, mask, ym
+                     + 2 * P * CAP              # xc, xr
+                     + P * (1 + 3 * cfg.max_nodes + 2 * CAP))  # outputs
+
+    # --- capability baselines measured through the same stack (context:
+    # how close the stack gets to the theoretical ceilings the floors use)
+    M = 64 * 1024 * 1024 // 4
+    a = jnp.asarray(rng.normal(size=(M,)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(M,)).astype(np.float32))
+
+    t_ew = _time_chain(lambda c: jnp.sum(a * b + c) * 1e-9)
+    elementwise_rate = M / t_ew  # elem/s incl. the reduction pass
+
+    t_tr = _time_chain(lambda c: jnp.sum(jnp.exp(a * (1e-9 * c))) * 1e-9)
+    transcendental_rate = M / t_tr
+
+    S = 512 * 1024 * 1024 // 4  # 2 GB read+write per iteration
+    big = jnp.zeros((S,), jnp.float32)
+    t_st = _time_chain(lambda c: jnp.sum(big + c) * 1e-12)
+    stream_bw = 2.0 * S * 4 / t_st  # bytes/s (sum pass counted as read)
+
+    # --- floors from THEORETICAL ceilings (true lower bounds)
+    t_vpu_floor = walk_elems / VPU_ELEM_OPS_S   # 1 op per live element
+    t_tr_floor = walk_elems / max(transcendental_rate, 1.0)
+    t_hbm_floor = hbm_bytes / HBM_BYTES_S
+
+    out = {
+        "shape": {"P": P, "cap": CAP, "depth": DEPTH,
+                  "active_nodes_total": active_nodes,
+                  "walk_plane": [rows_c, width_c]},
+        "measured": {
+            "fused_vgrad_eval_s": round(t_eval, 6),
+            "elementwise_rate_gelem_s": round(elementwise_rate / 1e9, 2),
+            "transcendental_rate_gelem_s": round(
+                transcendental_rate / 1e9, 2),
+            "stream_bw_gb_s": round(stream_bw / 1e9, 1),
+        },
+        "floors": {
+            "t_vpu_floor_s": round(t_vpu_floor, 6),
+            "t_transcendental_floor_s": round(t_tr_floor, 6),
+            "t_hbm_floor_s": round(t_hbm_floor, 6),
+        },
+        "ratios": {
+            # eval time as a multiple of each floor; the binding floor's
+            # multiple is the honest headroom number
+            "vs_vpu_floor": round(t_eval / t_vpu_floor, 2),
+            "vs_transcendental_floor": round(t_eval / t_tr_floor, 2),
+            "vs_hbm_floor": round(t_eval / t_hbm_floor, 2),
+        },
+    }
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "roofline_results.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+        f.write("\n")
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
