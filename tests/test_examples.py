@@ -73,3 +73,20 @@ class TestExamplesRun:
         assert all(np.isfinite(v) for v in out["mean_log_crps"].values())
         # conditioning on the new weeks must not be slower than refitting
         assert out["warm_update_s"] < out["initial_fit_s"]
+
+
+class TestFigurePipeline:
+    def test_acceptance_figure_renders(self, tmp_path):
+        """The docs figure renderer stays importable and its artifact-only
+        figure (no refit) renders from the committed acceptance artifact."""
+        import importlib.util as ilu
+
+        repo = os.path.dirname(_EXAMPLES)
+        spec = ilu.spec_from_file_location(
+            "make_figures", os.path.join(repo, "tools", "make_figures.py"))
+        mf = ilu.module_from_spec(spec)
+        spec.loader.exec_module(mf)
+        mf.OUT = str(tmp_path)
+        mf.fig_acceptance()
+        out = os.path.join(str(tmp_path), "acceptance_crps.png")
+        assert os.path.exists(out) and os.path.getsize(out) > 10_000
