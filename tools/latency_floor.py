@@ -1,0 +1,161 @@
+"""Latency-floor analysis for the reference's documented fit workloads
+(VERDICT r3 item 3's "state what binds" arm).
+
+A fit's rejuvenation work is an inherently SEQUENTIAL chain: each
+structure move's accept needs the previous move's state, and each HMC
+leapfrog step needs the previous gradient.  So the wall-clock floor of a
+fit is
+
+    sum over capacity segments of
+        n_evals(segment) x t_eval(P, cap_segment)
+
+where ``n_evals`` is the exact gradient-evaluation count of the engine's
+accounting (``utils/flops.py``: per step with HMC, ``1 + n_mcmc x (1 +
+n_hmc x n_leapfrog)`` gradient evaluations plus 1 forward) and
+``t_eval`` is the MEASURED fused value+grad eval time at that (P, cap)
+on this chip (chained-scan timing, tools/microbench_megalml.py
+methodology).  No batching axis remains to hide this latency: at P = 24
+or 32 the chip is mostly idle inside each eval, and the only way to go
+faster is a faster eval or fewer of them.
+
+Writes ``tools/latency_floor_results.json`` with, per config: the
+per-segment eval counts and measured per-eval times, the implied floor,
+the measured fit median from ``canonical_study_results.json``, and the
+floor/measured ratio (close to 1 = the fit IS its sequential eval chain;
+an explicit in/out-of-envelope statement follows from the floor alone).
+
+Run on the TPU:   python tools/latency_floor.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+CONFIGS = {
+    "24p_50x50_lf5": dict(P=24, n_mcmc=50, n_hmc=50, n_leapfrog=5,
+                          proportion=0.1),
+    "24p_100x20_lf5": dict(P=24, n_mcmc=100, n_hmc=20, n_leapfrog=5,
+                           proportion=0.1),
+    "32p_200x50_adaptive_lf5": dict(P=32, n_mcmc=200, n_hmc=50, n_leapfrog=5,
+                                    proportion=1.0 / 150, adaptive=True),
+    "200p_14x5_lf5": dict(P=200, n_mcmc=14, n_hmc=5, n_leapfrog=5,
+                          proportion=0.1),
+}
+N_TRAIN = 150  # the bench/canonical series length
+
+
+def _time_vgrad(P, cap, iters=20, reps=3):
+    """Measured per-eval seconds of the fused value+grad at (P, cap)."""
+    from jax import lax
+
+    from nowcastautogp_tpu.models.config import GPConfig
+    from nowcastautogp_tpu.models.structures import sample_particle
+    from nowcastautogp_tpu.ops import lml as lml_mod
+
+    cfg = GPConfig(max_depth=5)
+    rng = np.random.default_rng(0)
+    ts, ps, lns = zip(*(sample_particle(rng, cfg) for _ in range(P)))
+    types = jnp.asarray(np.stack(ts).astype(np.int32))
+    params = jnp.asarray(np.stack(ps).astype(np.float32))
+    log_noise = jnp.asarray(np.asarray(lns, np.float32))
+    x = jnp.asarray(np.broadcast_to(
+        np.linspace(0, 1, cap), (P, cap)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(P, cap)).astype(np.float32))
+    mask = jnp.ones((P, cap), jnp.float32)
+
+    def lml_sum(p_):
+        return jnp.sum(lml_mod.gp_lml_batched(
+            types, p_, log_noise, x, y, mask))
+
+    @jax.jit
+    def chain(seed):
+        def body(carry, _):
+            v, g = jax.value_and_grad(lml_sum)(params * (1.0 + 1e-6 * carry))
+            return jnp.tanh(v * 1e-3 + jnp.sum(g) * 1e-6), None
+
+        c, _ = lax.scan(body, seed, None, length=iters)
+        return c
+
+    float(chain(jnp.float32(1.0)))  # compile
+    best = np.inf
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(chain(jnp.float32(1.0)))
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
+
+
+def main() -> None:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/ngp_jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from nowcastautogp_tpu.inference.schedule import linear_schedule
+    from nowcastautogp_tpu.inference.smc import schedule_segments
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    measured = {}
+    canon_path = os.path.join(here, "canonical_study_results.json")
+    if os.path.exists(canon_path):
+        with open(canon_path) as f:
+            measured = json.load(f)
+
+    t_cache: dict = {}
+    out = {"n_train": N_TRAIN, "configs": {}}
+    for name, c in CONFIGS.items():
+        prop = max(c["proportion"], 1.0 / N_TRAIN)
+        schedule = linear_schedule(N_TRAIN, prop)
+        cap_full = max(64, int(np.ceil(N_TRAIN / 32)) * 32)
+        segs = []
+        floor = 0.0
+        for cap, steps in schedule_segments(schedule, cap_full):
+            key = (c["P"], cap)
+            if key not in t_cache:
+                t_cache[key] = _time_vgrad(*key)
+                print(f"t_eval(P={key[0]}, cap={key[1]}) = "
+                      f"{t_cache[key]*1e3:.2f} ms", flush=True)
+            evals = len(steps) * (
+                1 + c["n_mcmc"] * (1 + c["n_hmc"] * c["n_leapfrog"]))
+            seg_s = evals * t_cache[key]
+            floor += seg_s
+            segs.append({"cap": cap, "steps": len(steps), "evals": evals,
+                         "t_eval_ms": round(t_cache[key] * 1e3, 3),
+                         "floor_s": round(seg_s, 1)})
+        row = {"segments": segs, "floor_s": round(floor, 1)}
+        if c.get("adaptive"):
+            # adaptive_rejuvenation: sweeps fire only when ESS < 50%, so
+            # the all-steps floor above is an upper bound.  The binding
+            # quantity is the SEQUENTIAL cost of ONE sweep at full cap —
+            # measured totals / per-sweep floor ~= sweeps actually fired.
+            per_sweep = c["n_mcmc"] * (1 + c["n_hmc"] * c["n_leapfrog"])
+            t_full = t_cache[(c["P"], cap_full)]
+            row["all_steps_floor_is_upper_bound"] = True
+            row["per_sweep_evals"] = per_sweep
+            row["per_sweep_floor_s"] = round(per_sweep * t_full, 1)
+        rows = measured.get(name)
+        if isinstance(rows, list) and rows:
+            med = float(np.median([r["fit_s"] for r in rows]))
+            row["measured_median_s"] = round(med, 1)
+            row["floor_over_measured"] = round(floor / med, 2)
+        row["inside_60s_envelope"] = floor < 60.0
+        out["configs"][name] = row
+        print(json.dumps({name: row}), flush=True)
+
+    path = os.path.join(here, "latency_floor_results.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+        f.write("\n")
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
