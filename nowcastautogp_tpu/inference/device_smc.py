@@ -75,8 +75,7 @@ def _sweep_batched(
         if n_hmc > 0:
             (U2, lml2, g2_p, g2_n), _ = pot_and_grad_at(t2, p2, log_noise)
         else:
-            lml2 = gp_lml_batched(t2, p2, log_noise, x, y, mask, jitter,
-                                  for_grad=False)
+            lml2 = gp_lml_batched(t2, p2, log_noise, x, y, mask, jitter)
         accept = jnp.log(jax.random.uniform(k_acc, (P,))) < (
             lml2 - lml + log_h
         )
@@ -176,7 +175,7 @@ def smc_fit_device(
         # finite would otherwise see delta ~ +1e10 and capture the whole
         # ensemble (same guard as models/gp_model.py:174-176).
         lml_new = gp_lml_batched(types, params, log_noise, x, y, mask_k,
-                                 jitter, for_grad=False)
+                                 jitter)
         delta = jnp.where(
             (lml <= -1e9) | (lml_new <= -1e9), -1e10, lml_new - lml
         )

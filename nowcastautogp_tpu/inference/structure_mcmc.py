@@ -87,7 +87,7 @@ def _structure_move_body(
 
     lml_prop = gp_lml_batched(
         types_prop, params_prop, log_noise, x, y, mask, jitter,
-        backend=lml_backend, for_grad=False,
+        backend=lml_backend,
     )
     logit = lml_prop - lml_old + log_hastings
     accept = jnp.log(jax.random.uniform(k_acc, (P,))) < logit

@@ -185,7 +185,7 @@ class GPModel:
         x, y, m = self._batched_data(n_new, bucket=True)
         lml_new = gp_lml_batch(
             jnp.asarray(self._host_types), self._params_d, self._log_noise_d,
-            x, y, m, DEFAULT_JITTER, for_grad=False,
+            x, y, m, DEFAULT_JITTER,
         )
         lml_new_np = np.asarray(lml_new, dtype=np.float64)
         lml_old_np = np.asarray(self._lml_d, dtype=np.float64)

@@ -39,7 +39,7 @@ from .ops.lml import (
 )
 from .tdata import create_transformed_data
 from .utils.apply import apply_elementwise
-from .utils.dates import as_date_array
+from .utils.dates import as_date_array, dates_to_float
 
 __all__ = ["create_nowcast_data", "forecast_with_nowcasts"]
 
@@ -107,6 +107,8 @@ def _scenario_seed_seq(base_model, salt: int, nowcasts) -> np.random.SeedSequenc
     h.update(salt.to_bytes(8, "little", signed=True))
     for nc in nowcasts:
         h.update(np.ascontiguousarray(np.asarray(nc.y, np.float64)).tobytes())
+        h.update(np.ascontiguousarray(
+            dates_to_float(nc.ds).astype(np.float64)).tobytes())
     return np.random.SeedSequence(
         np.frombuffer(h.digest()[:16], np.uint32).tolist())
 
@@ -423,9 +425,9 @@ def _forecast_with_nowcasts_batched(
     # cached LML may be on a different (shuffled-capacity) buffer; recompute
     # on this buffer so add_data deltas are consistent.
     lml_old = gp_lml_batch(types_d, params, log_noise, x_b, y_b, m_old_b,
-                           DEFAULT_JITTER, for_grad=False)
+                           DEFAULT_JITTER)
     lml_new = gp_lml_batch(types_d, params, log_noise, x_b, y_b, m_new_b,
-                           DEFAULT_JITTER, for_grad=False)
+                           DEFAULT_JITTER)
     lml_old_np = np.asarray(lml_old, np.float64)
     lml_new_np = np.asarray(lml_new, np.float64)
     # a particle whose LML hits the -1e10 rejection sentinel is numerically

@@ -332,47 +332,50 @@ def _lml_from_K(K, log_noise, y, mask, jitter):
     return jnp.where(jnp.isfinite(lml), lml, -1e10)
 
 
-def _lml_mega_fused(node_types, params, log_noise, x, y, mask, jitter,
-                    value_only=False):
-    """Masked LML through the fused LML kernels.
+def _lml_mega_fused(node_types, params, log_noise, x, y, mask, jitter):
+    """Masked LML through the fused LML kernel's custom VJP.
 
     The diag augmentation and ``y * mask`` are built here in XLA so their
     chain rules (``d diag / d log_noise = mask * noise``, ``d ym / d y =
     mask``) compose with the kernel's ``gdiag``/``-alpha`` residuals —
-    ``log_noise`` gradients need no kernel-side special casing.  The
-    default path is ``lml_core_fused``'s custom VJP, whose primal is the
-    fused VALUE-ONLY kernel (same ``_fwd_steps`` instruction sequence as
-    the value+grad variant, so value and grad paths agree bit-exactly);
-    under ``jax.grad`` the forward rule runs the single fused
-    value+gradient kernel.  ``value_only=True`` (callers that never
-    differentiate, at shapes where only the value-only footprint fits)
-    calls the kernel without the VJP wrapper — gradients through it raise.
+    ``log_noise`` gradients need no kernel-side special casing.
+    ``lml_core_fused``'s primal is the fused VALUE-ONLY kernel (same
+    ``_fwd_steps`` instruction sequence as the value+grad variant, so
+    value and grad paths agree bit-exactly); under ``jax.grad`` the
+    forward rule runs the single fused value+gradient kernel.
     """
-    from .pallas_megalml import lml_core_fused, lml_core_fused_val
+    from .pallas_megalml import lml_core_fused
 
     noise = jnp.exp(log_noise)
     diagv = mask * (noise[:, None] + jitter) + (1.0 - mask)
     ym = y * mask
-    core_fn = lml_core_fused_val if value_only else lml_core_fused
-    core = core_fn(node_types, params, diagv, mask, x, ym)
+    core = lml_core_fused(node_types, params, diagv, mask, x, ym)
     n_active = jnp.sum(mask, axis=-1)
     lml = core - 0.5 * n_active * LOG_2PI
     return jnp.where(jnp.isfinite(lml), lml, -1e10)
 
 
 def gp_lml_batched(node_types, params, log_noise, x, y, mask,
-                   jitter=DEFAULT_JITTER, backend=None, for_grad=True):
+                   jitter=DEFAULT_JITTER, backend=None):
     """Natively batched masked LML: every argument carries the particle axis.
 
     Identical semantics to ``vmap(gp_lml_impl)`` including the ``-1e10``
     non-finite rejection guard.  ``backend`` (trace-time static) overrides
     the module-global selection — sharded multi-chip callers pass ``"jnp"``
     so a Pallas custom call never lands inside an SPMD-partitioned program.
-    ``for_grad=False`` is a static promise the caller never differentiates
-    through the result: at shapes where the fused value+grad kernel's VMEM
-    footprint doesn't fit but the value-only variant's does, it keeps the
-    fused kernel instead of falling back to the composed path (the default
-    stays conservative — a grad through the value-only kernel would raise).
+
+    CONSISTENCY CONTRACT: at a given (N, n, P) shape, every value-path and
+    grad-path evaluation uses the same numerical core.  The fit chain
+    compares LMLs across calls (MH accept logits, SMC reweight deltas,
+    values carried out of HMC), so a shape-dependent fast path that served
+    value-only callers a *different* Cholesky than the grad path (the
+    round-4 ``for_grad`` experiment) would inject a per-backend offset
+    into every comparison.  That is why the fused dispatch is gated on
+    ``megalml_fits`` (the value+grad footprint) even for value-only
+    callers: where the grad variant doesn't fit, BOTH sides fall back to
+    the composed path together (``megalml_fits_val`` documents which
+    shapes a value-only-only caller could safely use — none exist in the
+    fit chain today).
     """
     if backend is None:
         backend = _resolve_backend(node_types.shape[-1], x.shape[-1])
@@ -382,16 +385,12 @@ def gp_lml_batched(node_types, params, log_noise, x, y, mask,
         if not megacov_supported(node_types.shape[-1], x.shape[-1]):
             backend = "jnp"
     if backend == "mega":
-        from .pallas_megalml import megalml_fits, megalml_fits_val
+        from .pallas_megalml import megalml_fits
 
         N, P, n = node_types.shape[-1], node_types.shape[0], x.shape[-1]
         if _MEGALML != "off" and megalml_fits(N, n, P):
             return _lml_mega_fused(
                 node_types, params, log_noise, x, y, mask, jitter)
-        if _MEGALML != "off" and not for_grad and megalml_fits_val(N, n, P):
-            return _lml_mega_fused(
-                node_types, params, log_noise, x, y, mask, jitter,
-                value_only=True)
         from .pallas_megacov import cov_batched_fused
 
         K = cov_batched_fused(node_types, params, x)
@@ -418,7 +417,7 @@ def gp_lml_batched(node_types, params, log_noise, x, y, mask,
 
 
 # jitted entry point for host callers (reweighting, nowcast batching)
-gp_lml_batch = jax.jit(gp_lml_batched, static_argnames=("backend", "for_grad"))
+gp_lml_batch = jax.jit(gp_lml_batched, static_argnames=("backend",))
 
 
 def _gp_lml_batched_jnp(node_types, params, log_noise, x, y, mask,

@@ -79,8 +79,8 @@ def megalml_fits(n_nodes: int, n: int, P: int) -> bool:
     output/operand terms) at the chunk the policy would pick.
 
     The value+grad variant is the binding one — the value-only kernel has
-    no dvals pool and no staged-xc term (use ``megalml_fits_val`` for
-    value-only callers).  The population-scaled terms make this
+    no dvals pool and no staged-xc term (``megalml_fits_val`` documents
+    its own gate).  The population-scaled terms make this
     P-dependent: a depth-6 heap at n = 512 fits at P = 24 but not at
     P = 200 (the staged xc operand alone is 50 MB there), so the dispatch
     in ``ops/lml.py`` falls back to the composed megacov + batched-Cholesky
@@ -94,30 +94,50 @@ def megalml_fits(n_nodes: int, n: int, P: int) -> bool:
     """
     if not megalml_supported(n_nodes, n):
         return False
-    C = _chunk_for_lml(n, n_nodes, P)
-    per = _scratch_bytes_per_lane(n, n_nodes) + _blk_vmem_bytes(n, n_nodes)
-    Pp = -(-P // C) * C
-    return C * per + _out_vmem_bytes(Pp, n, n_nodes) <= _SLACKED_LIMIT
+    return _fits_vag(_chunk_for_lml(n, n_nodes, P), n, n_nodes, P)
 
 
 _SLACKED_LIMIT = mega._VMEM_LIMIT - 10 * 1024 * 1024
 
 
+def _fits_vag(c: int, n: int, n_nodes: int, P: int) -> bool:
+    """THE value+grad footprint predicate — shared verbatim by the launch
+    gate (``megalml_fits``) and the chunk policy (``_chunk_for_lml``), so
+    the two can never drift into the gate-approves-what-the-policy-
+    rejected OOM class."""
+    per = _scratch_bytes_per_lane(n, n_nodes) + _blk_vmem_bytes(n, n_nodes)
+    Pp = -(-P // c) * c
+    return c * per + _out_vmem_bytes(Pp, n, n_nodes) <= _SLACKED_LIMIT
+
+
+def _fits_val(c: int, n: int, n_nodes: int, P: int) -> bool:
+    """Value-only footprint predicate (one walk set, no dvals pool; only
+    the (Pp, 1, 1) core output scales with the padded population — the
+    val kernel's measured OOM dumps show NO staged-xc term).  Shared by
+    ``megalml_fits_val`` and ``_chunk_for_val``."""
+    per = _scratch_bytes_val(n, n_nodes) + _blk_vmem_bytes(n, n_nodes)
+    Pp = -(-P // c) * c
+    return c * per + Pp * 128 * 4 <= _SLACKED_LIMIT
+
+
 def megalml_fits_val(n_nodes: int, n: int, P: int) -> bool:
-    """P-aware launch check for the VALUE-ONLY fused kernel.
+    """P-aware launch check for the VALUE-ONLY fused kernel
+    (``lml_core_fused_val`` / the custom-VJP primal's own footprint).
 
     One walk set (no dvals pool) and only the (Pp, 1, 1) core output
-    scales with the padded population — shapes the value+grad variant
-    rejects (e.g. depth-6 n=512 at P=200) often still fit here, so
-    value-only callers (SMC reweights, accept ratios, predict) keep the
-    fused kernel.  Same 10 MB-slacked budget as ``megalml_fits``.
+    scales with the padded population, so shapes the value+grad variant
+    rejects (e.g. depth-6 n=512 at P=200) often still fit here.  NOTE the
+    fit chain deliberately does NOT dispatch on this check: every LML that
+    enters an MH logit or reweight delta must come from the same numerical
+    core as the value it is compared against (see ``gp_lml_batched``'s
+    consistency contract), so where the value+grad variant falls back,
+    value callers fall back WITH it.  This gate exists for genuinely
+    standalone value-only consumers (none in-tree today) and for the VMEM
+    policy tests.  Same 10 MB-slacked budget as ``megalml_fits``.
     """
     if not megalml_supported(n_nodes, n):
         return False
-    C = _chunk_for_val(n, n_nodes, P)
-    per = _scratch_bytes_val(n, n_nodes) + _blk_vmem_bytes(n, n_nodes)
-    Pp = -(-P // C) * C
-    return C * per + Pp * 128 * 4 <= _SLACKED_LIMIT
+    return _fits_val(_chunk_for_val(n, n_nodes, P), n, n_nodes, P)
 
 
 import os as _os
@@ -255,12 +275,9 @@ def _chunk_for_lml(n: int, n_nodes: int, P: int) -> int:
     """
     if _CHUNK_OVERRIDE:
         return _CHUNK_OVERRIDE
-    per = _scratch_bytes_per_lane(n, n_nodes) + _blk_vmem_bytes(n, n_nodes)
-    budget = _SLACKED_LIMIT
 
     def fits(c: int) -> bool:
-        Pp = -(-P // c) * c
-        return c * per + _out_vmem_bytes(Pp, n, n_nodes) <= budget
+        return _fits_vag(c, n, n_nodes, P)
 
     if P > 32:
         c = 16 if n <= 128 else 8
@@ -286,15 +303,9 @@ def _chunk_for_val(n: int, n_nodes: int, P: int) -> int:
     """
     if _CHUNK_OVERRIDE:
         return _CHUNK_OVERRIDE
-    per = _scratch_bytes_val(n, n_nodes) + _blk_vmem_bytes(n, n_nodes)
-    budget = _SLACKED_LIMIT
 
     def _fits(c: int) -> bool:
-        # only the (Pp, 1, 1) core output scales with Pp here — the val
-        # kernel's measured OOM dumps show NO staged-xc term (unlike the
-        # value+grad variant)
-        Pp_c = -(-P // c) * c
-        return c * per + Pp_c * 128 * 4 <= budget
+        return _fits_val(c, n, n_nodes, P)
 
     if P > 32:
         c = 16
@@ -642,11 +653,11 @@ def lml_core_fused_val(types, params, diagv, mask, x, ym):
     """Value-only fused LML core — NOT differentiable.
 
     Runs the same ``_fwd_steps`` instruction sequence as ``lml_core_fused``
-    (bit-identical values) but with no custom VJP, for callers that never
-    take gradients (SMC reweights, accept ratios, predict) at shapes where
-    the value+grad kernel's VMEM footprint doesn't fit but the value-only
-    one does (``megalml_fits_val``).  Differentiating through this raises a
-    loud Pallas AD error rather than silently launching a predicted-OOM
-    value+grad program.
+    (bit-identical values) but with no custom VJP.  Gate launches with
+    ``megalml_fits_val``.  The fit chain does NOT use this (its LML
+    comparisons must stay single-backend per ``gp_lml_batched``'s
+    consistency contract); it exists for standalone value-only consumers.
+    Differentiating through it raises a loud Pallas AD error rather than
+    silently launching a predicted-OOM value+grad program.
     """
     return _val_call(types, params, diagv, mask, x, ym, mega._INTERPRET)

@@ -131,10 +131,15 @@ def fit_panel(
     infer = 0.0 if config.noise is not None else 1.0
 
     # multi-device mesh ⇒ route every hot call through the shard_map
-    # wrappers (per-shard fused kernels); single-device keeps plain jit
-    sweep_mesh = (
-        mesh if mesh is not None and mesh.devices.size > 1 else None
-    )
+    # wrappers (per-shard fused kernels); single-device keeps plain jit.
+    # shard_map requires the row axis to divide evenly over the mesh —
+    # non-divisible panels (e.g. 6 series x 2 particles on 8 devices)
+    # fall back to the replicated pjit path with the pure-XLA LML pinned
+    # (the round-3 behavior), which handles any R.
+    n_dev = mesh.devices.size if mesh is not None else 1
+    sweep_mesh = mesh if n_dev > 1 and R % n_dev == 0 else None
+    pin_jnp = n_dev > 1 and sweep_mesh is None
+    lml_backend = "jnp" if pin_jnp else None
 
     # ---- shared proportion grid: anneal every series together
     n_max = max(lens)
@@ -154,7 +159,7 @@ def fit_panel(
         else:
             lml_new = gp_lml_batch(
                 jnp.asarray(host_types), params, log_noise, x_b, y_b,
-                mask_b, DEFAULT_JITTER, for_grad=False,
+                mask_b, DEFAULT_JITTER, backend=lml_backend,
             )
         lml_new_np = np.asarray(lml_new, np.float64)
         lml_old_np = np.asarray(lml, np.float64)
@@ -187,7 +192,7 @@ def fit_panel(
                 rng, key, host_types, params, log_noise, lml, x_b, y_b, mask_b,
                 config, n_mcmc, n_hmc, hmc_cfg, DEFAULT_JITTER,
                 noise_mu, noise_sigma, infer, eps_scale=eps_scale,
-                mesh=sweep_mesh,
+                mesh=sweep_mesh, lml_backend=lml_backend,
             )
         elif do_rejuvenate and n_hmc > 0:
             mu, sg, act = (jnp.asarray(a) for a in
@@ -214,7 +219,7 @@ def fit_panel(
                     step_jitter=hmc_cfg.step_size_jitter,
                     jitter=DEFAULT_JITTER, noise_mu=noise_mu,
                     noise_sigma=noise_sigma, infer_noise=infer,
-                    eps_scale=eps_scale,
+                    eps_scale=eps_scale, lml_backend=lml_backend,
                 )
 
     # ---- split rows back into per-series GPModels

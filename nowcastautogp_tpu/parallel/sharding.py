@@ -84,14 +84,13 @@ def lml_rows_sharded(types, params, log_noise, x, y, mask, *,
 
     Replaces the pjit-path ``gp_lml_batch_sharded`` pin for >1-device
     meshes: each shard evaluates its local rows through the full fused
-    dispatch (value-only).  Bit-equal to the unsharded ``gp_lml_batched``
+    dispatch.  Bit-equal to the unsharded ``gp_lml_batched``
     on the same backend — the computation is purely per-row.
     """
     spec = P(axis_name)
 
     def body(t, p, ln, xb, yb, mb):
-        return gp_lml_batched(t, p, ln, xb, yb, mb, DEFAULT_JITTER,
-                              for_grad=False)
+        return gp_lml_batched(t, p, ln, xb, yb, mb, DEFAULT_JITTER)
 
     # check_vma=False: the body is collective-free per-row compute, and
     # pallas_call outputs carry no `vma` annotation for the checker

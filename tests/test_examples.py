@@ -81,6 +81,7 @@ class TestFigurePipeline:
         figure (no refit) renders from the committed acceptance artifact."""
         import importlib.util as ilu
 
+        pytest.importorskip("matplotlib")
         repo = os.path.dirname(_EXAMPLES)
         spec = ilu.spec_from_file_location(
             "make_figures", os.path.join(repo, "tools", "make_figures.py"))

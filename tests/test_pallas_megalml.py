@@ -252,3 +252,21 @@ class TestValueOnlyPath:
         primal = f(params)
         fwd_val, _ = jax.vjp(f, params)
         np.testing.assert_allclose(primal, fwd_val, rtol=2e-4, atol=2e-3)
+
+
+def test_lml_core_fused_val_matches_jnp():
+    """The public value-only kernel (lml_core_fused_val, gated by
+    megalml_fits_val) computes the same masked LML core as the pure-XLA
+    reference.  The fit chain never dispatches on it (consistency
+    contract, ops/lml.py) — this pins the standalone API."""
+    from nowcastautogp_tpu.ops.lml import DEFAULT_JITTER, LOG_2PI
+
+    types, params, log_noise, x, y, mask = _population(6, 64, n_active=48)
+    noise = jnp.exp(log_noise)
+    diagv = mask * (noise[:, None] + DEFAULT_JITTER) + (1.0 - mask)
+    ym = y * mask
+    core = ml.lml_core_fused_val(types, params, diagv, mask, x, ym)
+    lml = core - 0.5 * jnp.sum(mask, axis=-1) * LOG_2PI
+    ref = _lml("jnp", types, params, log_noise, x, y, mask)
+    np.testing.assert_allclose(np.asarray(lml), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)

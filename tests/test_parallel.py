@@ -268,7 +268,7 @@ class TestShardMapFused:
         _, _, types, params, log_noise, x, y, mask = _rows(16, 64, seed=11)
         args = (jnp.asarray(types), params, log_noise, x, y, mask)
         v_sh = lml_rows_sharded(*args, mesh=mesh)
-        v_ref = gp_lml_batch(*args, for_grad=False)
+        v_ref = gp_lml_batch(*args)
         np.testing.assert_allclose(np.asarray(v_sh), np.asarray(v_ref),
                                    rtol=1e-5, atol=1e-5)
 

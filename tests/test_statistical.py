@@ -8,6 +8,7 @@ achieve sane empirical coverage on held-out points.
 """
 
 import datetime as dt
+import sys
 
 import numpy as np
 import pytest
@@ -118,6 +119,9 @@ class TestChangepointRecovery:
         slope = np.where(t < t_cp, 0.004, -0.03) * (t - t_cp)
         return np.exp(level + slope + 0.05 * rng.standard_normal(n))
 
+    @pytest.mark.skipif(sys.platform != "linux", reason=(
+        "pooled-mass/CRPS margins calibrated on linux f32; other platforms' "
+        "BLAS differences alter the seeded SMC trajectories"))
     def test_changepoint_discovery_pays_off(self):
         from nowcastautogp_tpu.models.structures import CP
 

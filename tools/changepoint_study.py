@@ -104,6 +104,7 @@ def main() -> None:
         with open(args.out) as f:
             rows = json.load(f).get("rows", [])
     done = {r["seed"] for r in rows}
+    summary = {"rows": rows}
     for seed in range(args.seeds):
         if seed in done:
             continue
