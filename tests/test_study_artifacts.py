@@ -31,17 +31,20 @@ class TestBudgetStudyArtifact:
         rows = _load("budget_study_results.json")
         fams = {r["family"] for r in rows}
         cfgs = {r["config"] for r in rows}
-        assert {"nhsn_like", "seir_wave"} <= fams
+        assert {"nhsn_like", "seir_wave", "outbreak_cp"} <= fams
         assert {"canonical_24_50x50", "bench_200_14x5_lf5"} <= cfgs
-        for fam in ("nhsn_like", "seir_wave"):
+        for fam in ("nhsn_like", "seir_wave", "outbreak_cp"):
             n = len([r for r in rows
                      if r["family"] == fam
                      and r["config"] == "canonical_24_50x50"])
             assert n >= 5, fam
 
     def test_shipped_config_matches_canonical_within_dispersion(self):
+        # three families: the bench generator, the mechanistic SEIR waves,
+        # and the round-4 outbreak+changepoint family (VERDICT r3 item 9 —
+        # authored independently of the bench simulator)
         rows = _load("budget_study_results.json")
-        for fam in ("nhsn_like", "seir_wave"):
+        for fam in ("nhsn_like", "seir_wave", "outbreak_cp"):
             canon = [r["log_crps"] for r in rows
                      if r["family"] == fam
                      and r["config"] == "canonical_24_50x50"]
