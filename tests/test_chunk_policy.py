@@ -157,3 +157,18 @@ def test_megalml_supported_matches_budget_model():
             if ml.megalml_supported(N, n):
                 assert ml._scratch_bytes_per_lane(n, N) <= (
                     mega._VMEM_LIMIT - 24 * 1024 * 1024)
+
+
+def test_vag_chunk_capped_at_calibrated_ceiling():
+    """Hardware calibration (tools/megalml_vmem_calibration.json): at
+    n >= 352 the value+grad kernel's real footprint exceeds the model at
+    multi-lane chunks (Mosaic VMEM OOM at the former policy's C=3-5),
+    while C=1 compiled at every probed shape — the policy must pin C=1
+    there.  The value-only variant's model held at its policy C."""
+    for n in (352, 416, 448, 512):
+        for N in (31, 63):
+            for P in (24, 200):
+                assert ml._chunk_for_lml(n, N, P) == 1, (n, N, P)
+    # below the calibrated ceiling the measured-optimum policy is intact
+    assert ml._chunk_for_lml(160, 31, 200) == 8
+    assert ml._chunk_for_lml(288, 31, 24) > 1

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 
-def probe(n, P, kind, chunk=None):
+def probe(n, P, kind, depth=5, chunk=None):
     """Compile-only probe of one fused launch; returns 'ok' or the error."""
     import subprocess
 
@@ -43,7 +43,7 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/ngp_jax_cache_tpu")
 from nowcastautogp_tpu.models.config import GPConfig
 from nowcastautogp_tpu.models.structures import sample_particle
 from nowcastautogp_tpu.ops import pallas_megalml as ml
-cfg = GPConfig(max_depth=5)
+cfg = GPConfig(max_depth={depth})
 rng = np.random.default_rng(0)
 ts, ps, lns = zip(*(sample_particle(rng, cfg) for _ in range({P})))
 types = jnp.asarray(np.stack(ts).astype(np.int32))
@@ -78,21 +78,27 @@ def main() -> None:
     from nowcastautogp_tpu.ops import pallas_megalml as ml
 
     out = {"rows": []}
-    for n in (288, 352, 416, 448, 512):
-        for P in (24, 200):
-            for kind in ("vag", "val"):
-                fits = (ml.megalml_fits if kind == "vag"
-                        else ml.megalml_fits_val)(31, n, P)
-                pick = (ml._chunk_for_lml if kind == "vag"
-                        else ml._chunk_for_val)(n, 31, P)
-                row = {"n": n, "P": P, "kind": kind, "model_fits": fits,
-                       "policy_C": pick}
-                if fits:
-                    row["compile"] = probe(n, P, kind)
-                    if row["compile"] != "ok" and pick > 1:
-                        row["compile_C1"] = probe(n, P, kind, chunk=1)
-                out["rows"].append(row)
-                print(json.dumps(row), flush=True)
+    # depth-5 heaps across the daily capacity segments, plus depth-6 at the
+    # largest caps (the depth-6 envelope the policy tests pin)
+    shapes = [(31, n, P) for n in (288, 352, 416, 448, 512)
+              for P in (24, 200)]
+    shapes += [(63, n, 24) for n in (448, 512)]
+    for N, n, P in shapes:
+        depth = 6 if N > 31 else 5
+        for kind in ("vag", "val"):
+            fits = (ml.megalml_fits if kind == "vag"
+                    else ml.megalml_fits_val)(N, n, P)
+            pick = (ml._chunk_for_lml if kind == "vag"
+                    else ml._chunk_for_val)(n, N, P)
+            row = {"N": N, "n": n, "P": P, "kind": kind,
+                   "model_fits": fits, "policy_C": pick}
+            if fits:
+                row["compile"] = probe(n, P, kind, depth=depth, chunk=pick)
+                if row["compile"] != "ok" and pick > 1:
+                    row["compile_C1"] = probe(n, P, kind, depth=depth,
+                                              chunk=1)
+            out["rows"].append(row)
+            print(json.dumps(row), flush=True)
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "megalml_vmem_calibration.json")
     with open(path, "w") as f:

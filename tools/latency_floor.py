@@ -14,7 +14,10 @@ accounting (``utils/flops.py``: per step with HMC, ``1 + n_mcmc x (1 +
 n_hmc x n_leapfrog)`` gradient evaluations plus 1 forward) and
 ``t_eval`` is the MEASURED fused value+grad eval time at that (P, cap)
 on this chip (chained-scan timing, tools/microbench_megalml.py
-methodology).  No batching axis remains to hide this latency: at P = 24
+methodology, 150 iterations per program so the ~40 ms per-execution
+tunnel overhead contributes < 0.3 ms/eval — at 20 iterations it
+dominated small-shape evals and produced a "floor" 4.6x the measured
+fit, which is how the overhead was diagnosed).  No batching axis remains to hide this latency: at P = 24
 or 32 the chip is mostly idle inside each eval, and the only way to go
 faster is a faster eval or fewer of them.
 
@@ -54,7 +57,7 @@ CONFIGS = {
 N_TRAIN = 150  # the bench/canonical series length
 
 
-def _time_vgrad(P, cap, iters=20, reps=3):
+def _time_vgrad(P, cap, iters=150, reps=3):
     """Measured per-eval seconds of the fused value+grad at (P, cap)."""
     from jax import lax
 
