@@ -120,3 +120,25 @@ class TestChangepointStudyArtifact:
     def test_no_accuracy_cost(self):
         d = _load("changepoint_study_results.json")
         assert d["mean_cp_log_crps"] <= 1.1 * d["mean_nocp_log_crps"], d
+
+
+class TestDailyBenchArtifact:
+    """tools/daily_bench_results.json (VERDICT r3 item 5): committed
+    end-to-end daily-cadence wall-clock + quality with bench-style gates —
+    the tiled-covariance / MXU-Cholesky regime measured as a workload,
+    not just microbenches."""
+
+    def test_gates_and_structure(self):
+        d = _load("daily_bench_results.json")
+        for cfg in ("daily_24p", "daily_200p"):
+            assert d[cfg]["gate_ok"], (cfg, d[cfg])
+            assert len(d[cfg]["rows"]) >= 3
+            assert d[cfg]["mean_log_crps"] <= d["gate_max_log_crps"]
+
+    def test_daily_fits_are_fast(self):
+        # the committed perf claims future rounds regress against: a
+        # 560-day x 24-particle fit in single-digit seconds, 200 particles
+        # inside the 60 s envelope
+        d = _load("daily_bench_results.json")
+        assert d["daily_24p"]["median_fit_s"] < 15.0
+        assert d["daily_200p"]["median_fit_s"] < 60.0
