@@ -142,3 +142,30 @@ class TestDailyBenchArtifact:
         d = _load("daily_bench_results.json")
         assert d["daily_24p"]["median_fit_s"] < 15.0
         assert d["daily_200p"]["median_fit_s"] < 60.0
+
+
+class TestLatencyFloorArtifact:
+    """tools/latency_floor_results.json (VERDICT r3 item 3's
+    'state what binds' arm): every measured canonical fit lands between
+    its duplicated-population floor and diverse-population chain cost —
+    the fit IS its sequential gradient-evaluation chain."""
+
+    def test_measured_inside_bracket(self):
+        d = _load("latency_floor_results.json")
+        for cfg in ("24p_50x50_lf5", "24p_100x20_lf5"):
+            c = d["configs"][cfg]
+            assert c["measured_inside_bracket"], (cfg, c)
+            assert c["floor_s"] <= c["measured_median_s"] <= (
+                c["diverse_chain_s"] * 1.1)
+
+    def test_bench_config_at_its_chain_bound(self):
+        # the flagship claim: nothing left between the engine and the
+        # sequential chain's latency at the bench operating point
+        c = _load("latency_floor_results.json")["configs"]["200p_14x5_lf5"]
+        assert c["diverse_chain_s"] <= 15.0, c
+
+    def test_adaptive_per_sweep_floor(self):
+        c = _load("latency_floor_results.json")["configs"][
+            "32p_200x50_adaptive_lf5"]
+        assert c["all_steps_numbers_are_upper_bounds"]
+        assert c["per_sweep_floor_s"] > 20.0  # one sweep alone ~0.5 min
