@@ -420,18 +420,11 @@ def gp_lml_batched(node_types, params, log_noise, x, y, mask,
 gp_lml_batch = jax.jit(gp_lml_batched, static_argnames=("backend",))
 
 
-def _gp_lml_batched_jnp(node_types, params, log_noise, x, y, mask,
-                        jitter=DEFAULT_JITTER):
-    return jax.vmap(gp_lml_impl, in_axes=(0, 0, 0, 0, 0, 0, None))(
-        node_types, params, log_noise, x, y, mask, jitter
-    )
-
-
-# Sharded callers (parallel/panel.py row-sharding over a Mesh) must stay on
-# the pure-XLA path: a pallas_call is a single-device program XLA cannot
-# partition, so the backend dispatch is bypassed here regardless of the
-# global setting.
-gp_lml_batch_sharded = jax.jit(_gp_lml_batched_jnp)
+# NOTE: round 4 replaced the former gp_lml_batch_sharded pjit pin — a
+# >1-device mesh now routes through parallel.sharding.lml_rows_sharded
+# (jax.shard_map: one single-device program per row shard, full fused
+# dispatch legal inside); non-divisible panels fall back to
+# gp_lml_batch(backend="jnp") on replicated rows.
 
 
 def gp_predict(

@@ -82,7 +82,7 @@ def lml_rows_sharded(types, params, log_noise, x, y, mask, *,
                      mesh, axis_name="series"):
     """Row-sharded batched masked LML with per-shard backend dispatch.
 
-    Replaces the pjit-path ``gp_lml_batch_sharded`` pin for >1-device
+    Replaces round 3's pure-XLA pjit LML pin for >1-device
     meshes: each shard evaluates its local rows through the full fused
     dispatch.  Bit-equal to the unsharded ``gp_lml_batched``
     on the same backend — the computation is purely per-row.
