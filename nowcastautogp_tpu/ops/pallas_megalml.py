@@ -100,7 +100,9 @@ def megalml_fits(n_nodes: int, n: int, P: int) -> bool:
 _SLACKED_LIMIT = mega._VMEM_LIMIT - 10 * 1024 * 1024
 # calibrated multi-lane ceiling for the value+grad kernel (see
 # _chunk_for_lml): at n >= this, only C=1 launches are hardware-verified
-_VAG_CAL_MAX_N_MULTIC = 352
+# (round-4 probes: n=288 multi-lane ok; n=320 C=6 and n=352/416/512
+# C=3-5 are Mosaic VMEM OOMs; C=1 compiles at every probed shape)
+_VAG_CAL_MAX_N_MULTIC = 320
 
 
 def _fits_vag(c: int, n: int, n_nodes: int, P: int) -> bool:
@@ -280,11 +282,12 @@ def _chunk_for_lml(n: int, n_nodes: int, P: int) -> int:
         return _CHUNK_OVERRIDE
     if n >= _VAG_CAL_MAX_N_MULTIC:
         # hardware calibration (tools/megalml_vmem_calibration.json,
-        # tools/calibrate_megalml_vmem.py): at n >= 352 the value+grad
+        # tools/calibrate_megalml_vmem.py): at n >= 320 the value+grad
         # kernel's REAL footprint exceeds the model at multi-lane chunks —
-        # Mosaic VMEM OOM at the policy's C=3-5 for (352, 416, 512) x P=24
-        # — while C=1 compiled at every probed shape.  The value-only
-        # variant's model held everywhere (no cap there).
+        # Mosaic VMEM OOM at the model's C=6 for (320, 24) and C=3-5 for
+        # (352, 416, 512) x P=24 — while C=1 compiled at every probed
+        # shape.  The value-only variant's model held everywhere (no cap
+        # there).
         return 1
 
     def fits(c: int) -> bool:

@@ -165,7 +165,7 @@ def test_vag_chunk_capped_at_calibrated_ceiling():
     multi-lane chunks (Mosaic VMEM OOM at the former policy's C=3-5),
     while C=1 compiled at every probed shape — the policy must pin C=1
     there.  The value-only variant's model held at its policy C."""
-    for n in (352, 416, 448, 512):
+    for n in (320, 352, 416, 448, 512):
         for N in (31, 63):
             for P in (24, 200):
                 assert ml._chunk_for_lml(n, N, P) == 1, (n, N, P)

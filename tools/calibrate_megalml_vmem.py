@@ -8,7 +8,7 @@ large n.  This probe COMPILES (never executes) the fused value+grad and
 value-only programs across the large-n shapes the capacity-bucketed daily
 fits produce, at the chunk the policy picks and at C=1, and records
 ok/OOM per shape.  The result backs the envelope cut in
-``ops/pallas_megalml.py`` (``_VAG_CAL_MAX_N``).
+``ops/pallas_megalml.py`` (``_VAG_CAL_MAX_N_MULTIC``).
 
 Run on the TPU:   python tools/calibrate_megalml_vmem.py
 """
@@ -74,6 +74,23 @@ print("COMPILED_OK")
         return "timeout"
 
 
+def _model_chunk_vag(ml, n, N, P):
+    """The footprint model's own chunk choice with the calibrated C=1 cap
+    BYPASSED — so re-running the probe can still observe the multi-lane
+    OOM class the cap guards against (the policy itself now returns 1 at
+    n >= the cap, which would make the probe unfalsifiable)."""
+    if P > 32:
+        c = 16 if n <= 128 else 8
+        while c > 1 and not ml._fits_vag(c, n, N, P):
+            c //= 2
+        return c
+    for G in range(1, P + 1):
+        c = -(-P // G)
+        if c <= 32 and ml._fits_vag(c, n, N, P):
+            return c
+    return 1
+
+
 def main() -> None:
     from nowcastautogp_tpu.ops import pallas_megalml as ml
 
@@ -97,6 +114,12 @@ def main() -> None:
                 if row["compile"] != "ok" and pick > 1:
                     row["compile_C1"] = probe(n, P, kind, depth=depth,
                                               chunk=1)
+                if kind == "vag":
+                    mc = _model_chunk_vag(ml, n, N, P)
+                    if mc != pick:
+                        row["model_C"] = mc
+                        row["compile_modelC"] = probe(
+                            n, P, kind, depth=depth, chunk=mc)
             out["rows"].append(row)
             print(json.dumps(row), flush=True)
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
