@@ -387,6 +387,20 @@ class TestShardMapFused:
             np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-3,
                                        err_msg=name)
 
+    def test_fit_panel_nondivisible_rows_fall_back(self):
+        """Rows that don't divide the mesh must not crash in shard_map:
+        the panel falls back to the replicated pjit path (review finding
+        r4: 3 series x 1 particle on a 2-device mesh)."""
+        mesh = make_mesh(2)
+        datasets = _panel(3, seed=31)
+        models = fit_panel(
+            datasets, n_particles=1, smc_data_proportion=0.5,
+            n_mcmc=1, n_hmc=1, seed=32, mesh=mesh,
+        )
+        assert len(models) == 3
+        for m in models:
+            assert np.all(np.isfinite(np.asarray(m._lml_d)))
+
     def test_fit_panel_multidevice_runs_sharded_sweep(self, monkeypatch):
         """fit_panel with a >1-device mesh must route rejuvenation through
         the shard_map step (not the lml_backend='jnp' pjit pin)."""
