@@ -139,8 +139,8 @@ def fig_acceptance():
     ax.set_yticks(y, [labels[k] for k in order])
     ax.set_xlim(0, max(vals) * 1.18)
     ax.set_xlabel("mean log-scale CRPS ratio vs best (lower is better)")
-    ax.set_title("Five-approach acceptance: nowcasting beats both baselines",
-                 loc="left")
+    ax.set_title("Five-approach acceptance: HMC-refreshed nowcasting "
+                 "beats both baselines", loc="left")
     ax.grid(axis="y", visible=False)
     fig.tight_layout()
     fig.savefig(os.path.join(OUT, "acceptance_crps.png"))
