@@ -387,6 +387,29 @@ class TestShardMapFused:
             np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-3,
                                        err_msg=name)
 
+    def test_fit_panel_hmc_only_uses_sharded_hmc(self, monkeypatch):
+        """The n_mcmc=0 rejuvenation path routes through run_hmc_sharded
+        on a >1-device mesh (divisible rows)."""
+        from nowcastautogp_tpu.parallel import panel as panel_mod
+
+        calls = {"n": 0}
+        real = panel_mod.run_hmc_sharded
+
+        def counting(*a, **kw):
+            calls["n"] += 1
+            return real(*a, **kw)
+
+        monkeypatch.setattr(panel_mod, "run_hmc_sharded", counting)
+        mesh = make_mesh(4)
+        datasets = _panel(4, seed=41)
+        models = fit_panel(
+            datasets, n_particles=2, smc_data_proportion=0.5,
+            n_mcmc=0, n_hmc=1, seed=42, mesh=mesh,
+        )
+        assert calls["n"] > 0
+        for m in models:
+            assert np.all(np.isfinite(np.asarray(m._lml_d)))
+
     def test_fit_panel_nondivisible_rows_fall_back(self):
         """Rows that don't divide the mesh must not crash in shard_map:
         the panel falls back to the replicated pjit path (review finding
