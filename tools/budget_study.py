@@ -13,7 +13,11 @@ rate.)
 
 Protocol per (family, seed, config): fit 150 weekly points, forecast the
 next 8 weeks with 2000 draws, score log-scale CRPS and 90% coverage against
-the held-out truth.  Canonical config mirrors the reference's documented
+the held-out truth.  NOTE on ``fit_s`` in the artifact: this study has no
+per-config warm-up, so each config's FIRST row after an engine change
+includes remote compilation (hundreds of seconds); warm rows are the
+representative wall-clock, and the study's claims rest on CRPS/coverage
+only (the canonical/daily studies own the wall-clock claims).  Canonical config mirrors the reference's documented
 workload (getting-started.jl:266-268: n_particles=24, n_mcmc=50, n_hmc=50,
 engine-default leapfrog).
 
