@@ -270,3 +270,27 @@ def test_lml_core_fused_val_matches_jnp():
     ref = _lml("jnp", types, params, log_noise, x, y, mask)
     np.testing.assert_allclose(np.asarray(lml), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_value_path_matches_grad_path_value_per_particle():
+    """The consistency contract's mechanism (ops/lml.py): under the fused
+    backend, the value-only primal and the value+grad forward rule share
+    ``_fwd_steps`` instruction for instruction, so an MH logit comparing a
+    fresh value against an HMC-carried value sees no cross-path offset
+    beyond reduction-order ulps.  Compared PER PARTICLE (a summed scalar
+    legitimately differs by an ulp between fusion contexts)."""
+    import jax
+
+    types, params, log_noise, x, y, mask = _population(8, 96, n_active=80)
+
+    def lml_vec(p_):
+        return gp_lml_batched(types, p_, log_noise, x, y, mask,
+                              backend="mega")
+
+    v_value_path = np.asarray(jax.jit(lml_vec)(params))
+    # jax.vjp runs the custom_vjp FORWARD rule (the value+grad kernel)
+    # and returns its per-particle primal
+    v_grad_path = np.asarray(
+        jax.jit(lambda p: jax.vjp(lml_vec, p)[0])(params))
+    np.testing.assert_allclose(v_value_path, v_grad_path, rtol=3e-7,
+                               atol=3e-4)
