@@ -57,7 +57,7 @@ VPU_ELEM_OPS_S = 3.9e12
 HBM_BYTES_S = 819e9
 
 
-def _time_chain(make_scalar, iters=20, reps=3):
+def _time_chain(make_scalar, iters=200, reps=3):
     """Median per-iteration seconds of a data-dependent scan chain.
 
     ``block_until_ready`` does not synchronize through the axon tunnel
@@ -132,20 +132,33 @@ def main() -> None:
 
     # --- capability baselines measured through the same stack (context:
     # how close the stack gets to the theoretical ceilings the floors use)
+    # Baseline construction constraints, both learned the hard way:
+    # (1) hoist-proofing — jnp.sum(x + c) algebraically separates into
+    #     sum(x) + n*c and XLA hoists the heavy half out of the scan
+    #     (observed: a "measured" 8.4 TB/s stream); abs() blocks the
+    #     distribution.
+    # (2) operands must be GENERATED ON DEVICE (iota-based), not closure
+    #     constants — a captured 2 GB literal is serialized into the
+    #     remote-compile request and the tunnel rejects it (HTTP 413).
     M = 64 * 1024 * 1024 // 4
-    a = jnp.asarray(rng.normal(size=(M,)).astype(np.float32))
-    b = jnp.asarray(rng.normal(size=(M,)).astype(np.float32))
 
-    t_ew = _time_chain(lambda c: jnp.sum(a * b + c) * 1e-9)
+    def _mk(n):  # compact deterministic pseudo-data from iota
+        i = jax.lax.iota(jnp.float32, n)
+        return jnp.sin(i * 1e-3) + 0.5
+
+    t_ew = _time_chain(
+        lambda c: jnp.sum(jnp.abs(_mk(M) * 1.0001 + c)) * 1e-9)
     elementwise_rate = M / t_ew  # elem/s incl. the reduction pass
 
-    t_tr = _time_chain(lambda c: jnp.sum(jnp.exp(a * (1e-9 * c))) * 1e-9)
+    t_tr = _time_chain(
+        lambda c: jnp.sum(jnp.exp(_mk(M) * (1e-9 * c))) * 1e-9)
     transcendental_rate = M / t_tr
 
-    S = 512 * 1024 * 1024 // 4  # 2 GB read+write per iteration
-    big = jnp.zeros((S,), jnp.float32)
-    t_st = _time_chain(lambda c: jnp.sum(big + c) * 1e-12)
-    stream_bw = 2.0 * S * 4 / t_st  # bytes/s (sum pass counted as read)
+    S = 512 * 1024 * 1024 // 4  # 2 GB touched per iteration
+    t_st = _time_chain(lambda c: jnp.sum(jnp.abs(_mk(S) + c)) * 1e-12)
+    stream_bw = S * 4 / t_st  # bytes/s-equivalent (one pass per element;
+    # iota+sin generation may keep this on-core — treat as an upper bound
+    # on what a streaming pass could achieve through this stack)
 
     # --- floors from THEORETICAL ceilings (true lower bounds)
     t_vpu_floor = walk_elems / VPU_ELEM_OPS_S   # 1 op per live element
