@@ -144,6 +144,49 @@ def _small_trtri(Lb):
     return jax.lax.fori_loop(0, b, body, jnp.zeros_like(Lb))
 
 
+def _diag_chol_inv(D):
+    """Fused (Lb, Lb^{-1}) of a (C, b, b) diagonal block in ONE fori loop.
+
+    The factorization and inversion loops of ``_diag_chol`` +
+    ``_small_trtri`` are both latency-bound 32-step chains; but once
+    column ``j`` of L lands, row ``j`` of L is complete, so the trtri row
+    step can ride the same iteration — halving the sequential step count
+    of the kernel's dominant serial section (round-5 per-eval shave;
+    ``tools/leaf_ablation_results.json`` puts the chol phase at ~28% of
+    the fused value+grad eval).  Shares ``dj``/``rsqrt`` with the factor
+    step: row j of the updated L differs from the pre-update row only at
+    the diagonal (= dj * rsqrt(dj)), and 1/l_jj IS rsqrt(dj) — no second
+    one-hot extraction, no division.  Same math as the two-loop pair
+    (float rounding: multiply-by-rsqrt vs divide-by-sqrt).
+    """
+    C, b, _ = D.shape
+    rowv = jax.lax.broadcasted_iota(jnp.int32, (1, b, 1), 1)
+    colm = jax.lax.broadcasted_iota(jnp.int32, (1, 1, b), 2)
+
+    def body(j, LM):
+        L, M = LM
+        Lrow = _row_j(L, j)                                     # (C, 1, b)
+        acc = jnp.sum(L * Lrow, axis=2, keepdims=True)          # (C, b, 1)
+        v = _col_j(D, j) - acc                                  # (C, b, 1)
+        dj = jnp.sum(jnp.where(rowv == j, v, 0.0),
+                     axis=1, keepdims=True)                     # (C, 1, 1)
+        inv_sqrt = jax.lax.rsqrt(dj)
+        colj = jnp.where(rowv > j, v * inv_sqrt, 0.0)
+        colj = jnp.where(rowv == j, dj * inv_sqrt, colj)        # (C, b, 1)
+        L = jnp.where(colm == j, colj, L)
+        # trtri row j on the same iteration: the completed row j of L is
+        # the pre-update row plus the diagonal entry dj * rsqrt(dj)
+        Lrow_full = jnp.where(colm == j, dj * inv_sqrt, Lrow)   # (C, 1, b)
+        accM = _bdot(Lrow_full, M)                              # (C, 1, b)
+        onehot_j = (colm == j).astype(jnp.float32)
+        Mj = (onehot_j - accM) * inv_sqrt                       # (C, 1, b)
+        M = jnp.where(rowv == j, Mj, M)
+        return (L, M)
+
+    return jax.lax.fori_loop(
+        0, b, body, (jnp.zeros_like(D), jnp.zeros_like(D)))
+
+
 def tri_inv_body(L_ref, X_ref, R_ref, D_ref):
     """In-place X = L^{-1} with L L^T = A for one chunk, all refs VMEM.
 
@@ -161,8 +204,7 @@ def tri_inv_body(L_ref, X_ref, R_ref, D_ref):
     # ---- phase 1: blocked right-looking Cholesky; panel updates on MXU
     for k in range(nb):
         s = k * b
-        Lb = _diag_chol(L_ref[:, s:s + b, s:s + b])
-        Lbinv = _small_trtri(Lb)
+        Lb, Lbinv = _diag_chol_inv(L_ref[:, s:s + b, s:s + b])
         L_ref[:, s:s + b, s:s + b] = Lb
         D_ref[:, s:s + b, :] = Lbinv
         if k + 1 < nb:

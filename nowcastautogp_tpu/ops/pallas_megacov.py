@@ -56,9 +56,39 @@ __all__ = [
 _LOG_EPS = -27.631021  # log(1e-12): GE power clamp, in log space
 _PI = math.pi
 
+# Odd minimax polynomial for sin(pi*s) on s in [-1, 1], degree 11 (max abs
+# error 9.6e-8 — below f32 eps at 1.0, i.e. exact to working precision).
+# Rationale (round-5 per-leaf ablation, tools/leaf_ablation_results.json):
+# XLA's generic sin/cos lower to ~10x the VPU cost of exp, and the
+# Periodic node bodies (one sin forward, sin+cos backward) were ~33% of
+# the whole fused value+grad eval; a range-reduced polynomial cuts that
+# to a handful of fmas.  Range reduction is u mod 2 in f32: above
+# |u| ~ 1e3 (period thousands of times shorter than the time window —
+# an aliased, likelihood-irrelevant regime) the reduction loses ~ulp(u)
+# of phase, same class of degradation as any f32 trig at large args.
+_SINPI_C = (3.141591396647e+00, -5.167677421884e+00, 2.549879327669e+00,
+            -5.982787896424e-01, 8.047603768044e-02, -5.990644626448e-03)
+
+
+def _sinpi(u):
+    """sin(pi * u) for u >= 0 via mod-2 reduction + odd minimax poly."""
+    v = u - 2.0 * jnp.floor(0.5 * u)          # [0, 2)
+    s = v - 1.0                               # [-1, 1); sin(pi v) = -sin(pi s)
+    s2 = s * s
+    p = _SINPI_C[5]
+    for c in _SINPI_C[4::-1]:
+        p = p * s2 + c
+    return -(s * p)
+
+
+def _cospi(u):
+    """cos(pi * u) for u >= 0 (phase-shifted :func:`_sinpi`)."""
+    return _sinpi(u + 0.5)
+
 # chunk-level gating flags (SMEM, per node)
-_F_NONEMPTY, _F_LEAFEXP, _F_GE, _F_PER, _F_LIN, _F_INTERNAL, _F_CP = range(7)
-_NF = 7
+(_F_NONEMPTY, _F_LEAFEXP, _F_GE, _F_PER, _F_LIN, _F_INTERNAL, _F_CP,
+ _F_SE, _F_CONSTSE) = range(9)
+_NF = 9
 
 # nodeinfo rows (per node, each a (C, 1, 1) plane): type masks + params
 (_M_CONST, _M_SE, _M_GE, _M_PER, _M_LIN, _M_PLUS, _M_TIMES, _M_CP,
@@ -205,11 +235,15 @@ def _region_planes(xc_ref, xr_ref, regions):
     return regs
 
 
-def _node_fwd_body(i, flags_ref, info_ref, regs, vals, N):
+def _node_fwd_body(i, flags_ref, info_ref, regs, vals, N,
+                   ablate=frozenset()):
     """Evaluate heap slot ``i`` for all C chunk lanes into ``vals[i]``.
 
     ``info_ref[i, j]`` are (C, 1, 1) planes; each region in ``regs``
     carries its xc (C, rows, 1), xr (C, 1, cols) and r/r2/log_r planes.
+    ``ablate`` (timing-only; results numerically invalid) drops bodies by
+    tag — fleaf/fge/fper/flin/fint/fcp — for kernel phase attribution
+    (``tools/leaf_ablation.py``).
     """
     from jax.experimental import pallas as pl
 
@@ -225,69 +259,83 @@ def _node_fwd_body(i, flags_ref, info_ref, regs, vals, N):
     def p(j):
         return info_ref[i, (_M_P0, _M_P1, _M_P2)[j]]
 
-    @pl.when(f(_F_LEAFEXP))
-    def _():
-        p0, p1 = p(0), p(1)
-        for (rs, cs, xc, xr, r, r2, log_r) in regs:
-            arg = jnp.where(m(_M_CONST), p0 + jnp.zeros_like(r),
-                            jnp.zeros_like(r))
-            arg = jnp.where(m(_M_SE),
-                            p1 - 0.5 * r2 * jnp.exp(-2.0 * p0), arg)
-            vals[i, :, rs, cs] = arg
+    if "fleaf" not in ablate:
+        # CONST/SE write their pre-exp arg; GE/PER lanes overwrite below
+        # before the shared exp, so this body only fires when a lane
+        # actually holds a CONST or SE node (zero-mass under the default
+        # leaf prior — the body then costs one scalar test).  Lanes whose
+        # slot is empty keep stale scratch, which is never consumed:
+        # parents select children per-lane only where the tree is real,
+        # and dp/K outputs discard non-selected lanes by type mask.
+        @pl.when(f(_F_CONSTSE))
+        def _():
+            p0, p1 = p(0), p(1)
+            for (rs, cs, xc, xr, r, r2, log_r) in regs:
+                arg = jnp.where(m(_M_CONST), p0 + jnp.zeros_like(r),
+                                jnp.zeros_like(r))
+                arg = jnp.where(m(_M_SE),
+                                p1 - 0.5 * r2 * jnp.exp(-2.0 * p0), arg)
+                vals[i, :, rs, cs] = arg
 
-    @pl.when(f(_F_GE))
-    def _():
-        p0, p1, p2 = p(0), p(1), p(2)
-        gamma = 2.0 * jax.nn.sigmoid(p1)
-        for (rs, cs, xc, xr, r, r2, log_r) in regs:
-            pow_t = jnp.exp(gamma * jnp.maximum(log_r - p0, _LOG_EPS))
-            vals[i, :, rs, cs] = jnp.where(
-                m(_M_GE), jnp.where(r > 0, p2 - pow_t, p2),
-                vals[i, :, rs, cs])
+    if "fge" not in ablate:
+        @pl.when(f(_F_GE))
+        def _():
+            p0, p1, p2 = p(0), p(1), p(2)
+            gamma = 2.0 * jax.nn.sigmoid(p1)
+            for (rs, cs, xc, xr, r, r2, log_r) in regs:
+                pow_t = jnp.exp(gamma * jnp.maximum(log_r - p0, _LOG_EPS))
+                vals[i, :, rs, cs] = jnp.where(
+                    m(_M_GE), jnp.where(r > 0, p2 - pow_t, p2),
+                    vals[i, :, rs, cs])
 
-    @pl.when(f(_F_PER))
-    def _():
-        p0, p1, p2 = p(0), p(1), p(2)
-        for (rs, cs, xc, xr, r, r2, log_r) in regs:
-            s = jnp.sin(_PI * r * jnp.exp(-p1))
-            vals[i, :, rs, cs] = jnp.where(
-                m(_M_PER), p2 - 2.0 * s * s * jnp.exp(-2.0 * p0),
-                vals[i, :, rs, cs])
+    if "fper" not in ablate:
+        @pl.when(f(_F_PER))
+        def _():
+            p0, p1, p2 = p(0), p(1), p(2)
+            for (rs, cs, xc, xr, r, r2, log_r) in regs:
+                s = _sinpi(r * jnp.exp(-p1))
+                vals[i, :, rs, cs] = jnp.where(
+                    m(_M_PER), p2 - 2.0 * s * s * jnp.exp(-2.0 * p0),
+                    vals[i, :, rs, cs])
 
-    @pl.when(f(_F_LEAFEXP))
-    def _():
-        for (rs, cs, *_rest) in regs:
-            vals[i, :, rs, cs] = jnp.exp(vals[i, :, rs, cs])
+    if "fleaf" not in ablate:
+        @pl.when(f(_F_LEAFEXP))
+        def _():
+            for (rs, cs, *_rest) in regs:
+                vals[i, :, rs, cs] = jnp.exp(vals[i, :, rs, cs])
 
-    @pl.when(f(_F_LIN))
-    def _():
-        p0, p1 = p(0), p(1)
-        for (rs, cs, xc, xr, r, r2, log_r) in regs:
-            k_lin = jnp.exp(p1) * ((xc - p0) * (xr - p0))
-            vals[i, :, rs, cs] = jnp.where(m(_M_LIN), k_lin,
-                                           vals[i, :, rs, cs])
+    if "flin" not in ablate:
+        @pl.when(f(_F_LIN))
+        def _():
+            p0, p1 = p(0), p(1)
+            for (rs, cs, xc, xr, r, r2, log_r) in regs:
+                k_lin = jnp.exp(p1) * ((xc - p0) * (xr - p0))
+                vals[i, :, rs, cs] = jnp.where(m(_M_LIN), k_lin,
+                                               vals[i, :, rs, cs])
 
-    @pl.when(f(_F_INTERNAL))
-    def _():
-        for (rs, cs, *_rest) in regs:
-            left = vals[li, :, rs, cs]
-            right = vals[ri, :, rs, cs]
-            v = jnp.where(m(_M_PLUS), left + right, vals[i, :, rs, cs])
-            vals[i, :, rs, cs] = jnp.where(m(_M_TIMES), left * right, v)
+    if "fint" not in ablate:
+        @pl.when(f(_F_INTERNAL))
+        def _():
+            for (rs, cs, *_rest) in regs:
+                left = vals[li, :, rs, cs]
+                right = vals[ri, :, rs, cs]
+                v = jnp.where(m(_M_PLUS), left + right, vals[i, :, rs, cs])
+                vals[i, :, rs, cs] = jnp.where(m(_M_TIMES), left * right, v)
 
-    @pl.when(f(_F_CP))
-    def _():
-        p0, p1 = p(0), p(1)
-        inv_s = jnp.exp(-p1)
-        for (rs, cs, xc, xr, r, r2, log_r) in regs:
-            left = vals[li, :, rs, cs]
-            right = vals[ri, :, rs, cs]
-            s1c = jax.nn.sigmoid((xc - p0) * inv_s)   # (C, rows, 1)
-            s1r = jax.nn.sigmoid((xr - p0) * inv_s)   # (C, 1, cols)
-            k_cp = (s1c * s1r * left
-                    + (1.0 - s1c) * (1.0 - s1r) * right)
-            vals[i, :, rs, cs] = jnp.where(m(_M_CP), k_cp,
-                                           vals[i, :, rs, cs])
+    if "fcp" not in ablate:
+        @pl.when(f(_F_CP))
+        def _():
+            p0, p1 = p(0), p(1)
+            inv_s = jnp.exp(-p1)
+            for (rs, cs, xc, xr, r, r2, log_r) in regs:
+                left = vals[li, :, rs, cs]
+                right = vals[ri, :, rs, cs]
+                s1c = jax.nn.sigmoid((xc - p0) * inv_s)   # (C, rows, 1)
+                s1r = jax.nn.sigmoid((xr - p0) * inv_s)   # (C, 1, cols)
+                k_cp = (s1c * s1r * left
+                        + (1.0 - s1c) * (1.0 - s1r) * right)
+                vals[i, :, rs, cs] = jnp.where(m(_M_CP), k_cp,
+                                               vals[i, :, rs, cs])
 
 
 def _cov_fwd_kernel(flags_ref, info_ref, xc_ref, xr_ref, out_ref, vals, *,
@@ -333,25 +381,33 @@ def _node_bwd_body(i, flags_ref, info_ref, regs, vals, dvals, dp, N,
         return info_ref[i, (_M_P0, _M_P1, _M_P2)[j]]
 
     if "bnonempty" not in ablate:
-        @pl.when(f(_F_NONEMPTY))
+        # amplitude grads exist only for the exp-family leaves, so the
+        # shared damp reduction gates on LEAFEXP (round 4 gated on
+        # NONEMPTY, paying two plane mults + reductions per INTERNAL slot
+        # for grads that are identically zero there); the SE lengthscale
+        # term gets its own flag — zero-mass under the default leaf prior
+        @pl.when(f(_F_LEAFEXP))
         def _():
-            p0 = p(0)
             # shared reduction: dk/d(amplitude-slot) = k for every exp leaf
             damp = z11
-            dse = z11
             for (rs, cs, xc_s, xr_s, r, r2, log_r) in regs:
                 dv = dvals[i, :, rs, cs]
                 k = vals[i, :, rs, cs]
                 damp = damp + _rsum11(dv * k)
+            dp[3 * i] = jnp.where(m(_M_CONST), damp, z11)
+            dp[3 * i + 1] = jnp.where(m(_M_SE), damp, z11)
+            dp[3 * i + 2] = jnp.where(m(_M_GE) | m(_M_PER), damp, z11)
+
+        @pl.when(f(_F_SE))
+        def _():
+            p0 = p(0)
+            dse = z11
+            for (rs, cs, xc_s, xr_s, r, r2, log_r) in regs:
+                dv = dvals[i, :, rs, cs]
+                k = vals[i, :, rs, cs]
                 dse = dse + _rsum11(dv * k * r2)
-            g0 = jnp.where(m(_M_CONST), damp, z11)
-            g1 = jnp.where(m(_M_SE), damp, z11)
-            g2 = jnp.where(m(_M_GE) | m(_M_PER), damp, z11)
-            g0 = g0 + jnp.where(
+            dp[3 * i] = dp[3 * i] + jnp.where(
                 m(_M_SE), dse * jnp.exp(-2.0 * p0), z11)
-            dp[3 * i] = g0
-            dp[3 * i + 1] = g1
-            dp[3 * i + 2] = g2
 
     if "bge" not in ablate:
         @pl.when(f(_F_GE))
@@ -385,10 +441,10 @@ def _node_bwd_body(i, flags_ref, info_ref, regs, vals, dvals, dp, N,
             for (rs, cs, xc_s, xr_s, r, r2, log_r) in regs:
                 dv = dvals[i, :, rs, cs]
                 k = vals[i, :, rs, cs]
-                arg = _PI * r * einv
-                s = jnp.sin(arg)
+                u = r * einv
+                s = _sinpi(u)
                 s0 = s0 + _rsum11(dv * k * 4.0 * s * s)
-                s1 = s1 + _rsum11(dv * k * 4.0 * s * jnp.cos(arg) * arg)
+                s1 = s1 + _rsum11(dv * k * 4.0 * s * _cospi(u) * (_PI * u))
             g0 = jnp.where(m(_M_PER), s0 * e2, z11)
             g1 = jnp.where(m(_M_PER), s1 * e2, z11)
             dp[3 * i] = dp[3 * i] + g0
@@ -525,6 +581,13 @@ def _chunk_flags(types_g):
             jnp.any(t == LINEAR, axis=1),
             jnp.any((t == PLUS) | (t == TIMES) | (t == CP), axis=1),
             jnp.any(t == CP, axis=1),
+            # fine gating (round 5): the reference's default leaf prior
+            # gives zero mass to Constant and SE (config.node_dist_leaf),
+            # so the SE lengthscale-grad term and the CONST/SE forward
+            # arg body get their own flags instead of riding the broad
+            # NONEMPTY/LEAFEXP gates
+            jnp.any(t == SE, axis=1),
+            jnp.any((t == CONST) | (t == SE), axis=1),
         ],
         axis=-1,
     )

@@ -152,6 +152,12 @@ _CHUNK_OVERRIDE = int(_os.environ.get("NGP_MEGALML_CHUNK", "0"))
 #   "nochol" replaces the factorization with a copy; "nobwd" skips the
 #   cotangent seed + backward walk.  For kernel phase attribution.
 _ABLATE = _os.environ.get("NGP_MEGALML_ABLATE", "")
+# per-body walk ablation (timing-only): comma list of
+# fleaf/fge/fper/flin/fint/fcp (forward bodies, mega._node_fwd_body) and
+# bnonempty/bge/bper/blin/bint/bcp (backward bodies, mega._node_bwd_body);
+# drives tools/leaf_ablation.py's per-leaf decomposition of the fused eval.
+_ABLATE_WALK = frozenset(
+    s for s in _os.environ.get("NGP_MEGA_WALK_ABLATE", "").split(",") if s)
 
 
 @functools.lru_cache(maxsize=None)
@@ -366,7 +372,8 @@ def _fwd_steps(flags_ref, info_ref, xc_ref, xr_ref, diag_ref, maskc_ref,
 
     # ---- 1. forward node walk (bottom-up), vals[0] = K on the regions
     def fwd_body(it, carry):
-        mega._node_fwd_body(N - 1 - it, flags_ref, info_ref, regs, vals, N)
+        mega._node_fwd_body(N - 1 - it, flags_ref, info_ref, regs, vals, N,
+                            _ABLATE_WALK)
         return carry
 
     jax.lax.fori_loop(0, N, fwd_body, 0)
@@ -486,7 +493,8 @@ def _megalml_kernel(
     # ---- 7. backward node walk (top-down) -> parameter grads
     def bwd_body(i, carry):
         mega._node_bwd_body(
-            i, flags_ref, info_ref, regs, vals, dvals, dp_ref, N, ())
+            i, flags_ref, info_ref, regs, vals, dvals, dp_ref, N,
+            _ABLATE_WALK)
         return carry
 
     jax.lax.fori_loop(0, N, bwd_body, 0)
