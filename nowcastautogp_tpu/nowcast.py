@@ -85,26 +85,57 @@ def _shared_dates(nowcasts) -> bool:
     )
 
 
-def _scenario_seed_seq(base_model, salt: int, nowcasts) -> np.random.SeedSequence:
+def _hash_rng_state(h, bit_generator) -> None:
+    """Feed a numpy ``BitGenerator`` state into ``h`` via canonical fields.
+
+    ``repr(state)`` is NOT a stable serialization (dict layout / int repr
+    can change across numpy versions — advisor r4); instead the generator
+    name and each state field are hashed as fixed-width bytes (PCG64's
+    ``state``/``inc`` are 128-bit ints; MT19937-style array states hash
+    as raw buffers), so the derived stream is invariant to numpy's repr.
+    """
+    st = bit_generator.state
+    h.update(str(st.get("bit_generator", "")).encode())
+    inner = st.get("state", {})
+    items = sorted(inner.items()) if isinstance(inner, dict) else [
+        ("state", inner)]
+    for k, v in items:
+        h.update(k.encode())
+        if isinstance(v, (int, np.integer)):
+            h.update(int(v).to_bytes(32, "little", signed=False))
+        else:
+            h.update(np.ascontiguousarray(v).tobytes())
+    h.update(int(st.get("has_uint32", 0)).to_bytes(2, "little"))
+    h.update(int(st.get("uinteger", 0)).to_bytes(8, "little"))
+
+
+def _scenario_seed_seq(base_model, salt: int, nowcasts,
+                       draw_seed: int | None = None) -> np.random.SeedSequence:
     """Scenario randomness derived from — WITHOUT advancing — the base state.
 
     The reference's contract is strict (``src/forecasting.jl:128-133``:
     scenarios work on serialized copies, the base model is untouched);
     round 3 shipped a softer version where these paths advanced the base
     model's numpy RNG / JAX key (VERDICT r3 weak #5).  Here the base
-    RNG-state bytes, the JAX key data, a call-site salt, and the scenario
-    targets are hashed into a fresh ``SeedSequence`` — the base model is
-    bit-identical before and after, and a repeated call with identical
-    inputs reproduces identical draws (a pure function of base state +
-    inputs; documented in PARITY.md).  Hashing the scenario content keeps
-    draws statistically independent across calls with different nowcasts.
+    RNG-state fields (canonically serialized, see :func:`_hash_rng_state`),
+    the JAX key data, a call-site salt, and the scenario targets are hashed
+    into a fresh ``SeedSequence`` — the base model is bit-identical before
+    and after, and a repeated call with identical inputs reproduces
+    identical draws (a pure function of base state + inputs; documented in
+    PARITY.md).  Hashing the scenario content keeps draws statistically
+    independent across calls with different nowcasts; ``draw_seed`` lets a
+    caller accumulating Monte Carlo draws across repeated identical calls
+    request fresh independent streams (advisor r4).
     """
     import hashlib
 
     h = hashlib.sha256()
-    h.update(repr(base_model.rng.bit_generator.state).encode())
+    _hash_rng_state(h, base_model.rng.bit_generator)
     h.update(np.asarray(jax.random.key_data(base_model._key)).tobytes())
     h.update(salt.to_bytes(8, "little", signed=True))
+    if draw_seed is not None:
+        h.update(b"draw_seed")
+        h.update(int(draw_seed).to_bytes(8, "little", signed=True))
     for nc in nowcasts:
         h.update(np.ascontiguousarray(np.asarray(nc.y, np.float64)).tobytes())
         h.update(np.ascontiguousarray(
@@ -113,9 +144,10 @@ def _scenario_seed_seq(base_model, salt: int, nowcasts) -> np.random.SeedSequenc
         np.frombuffer(h.digest()[:16], np.uint32).tolist())
 
 
-def _scenario_key(base_model, salt: int, nowcasts):
+def _scenario_key(base_model, salt: int, nowcasts,
+                  draw_seed: int | None = None):
     """A fresh JAX PRNG key from :func:`_scenario_seed_seq` (no mutation)."""
-    seed = int(_scenario_seed_seq(base_model, salt, nowcasts)
+    seed = int(_scenario_seed_seq(base_model, salt, nowcasts, draw_seed)
                .generate_state(1)[0])
     return jax.random.PRNGKey(seed)
 
@@ -124,7 +156,7 @@ def forecast_with_nowcasts(
     base_model: GPModel, nowcasts, forecast_dates, forecast_draws_per_nowcast: int,
     *, inv_transformation=lambda y: y, n_mcmc: int = 0, n_hmc: int = 0,
     ess_threshold: float = 0.0, forecast_n_hmc: int | None = None,
-    verbose: bool = False,
+    verbose: bool = False, draw_seed: int | None = None, mesh=None,
 ) -> np.ndarray:
     """Forecast conditioned on each nowcast scenario; concat scenario blocks.
 
@@ -133,6 +165,18 @@ def forecast_with_nowcasts(
     requires ``n_hmc > 0``; ``0 <= ess_threshold <= 1`` (a *fraction* of the
     ensemble); ``forecast_n_hmc`` (if given) must be positive and controls HMC
     only during forecasting.  The base model is never mutated.
+
+    Draws are a pure function of (base state, inputs): repeated identical
+    calls return identical matrices.  A caller accumulating Monte Carlo
+    draws across calls passes a distinct ``draw_seed`` per call to get
+    fresh independent streams (the reference's fresh-randomness-per-call
+    behavior) without mutating the base model.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` — the flattened
+    scenario x particle row axis shards across its devices (SURVEY.md
+    §2.5's second shard axis), one single-device fused program per shard,
+    zero cross-scenario collectives.  Scenario counts that do not divide
+    the mesh are padded to the next multiple and trimmed.
 
     With no particle refresh (all of ``n_mcmc``/``n_hmc``/``forecast_n_hmc``
     off) the shared-date path runs per-PARTICLE shared-Cholesky linear
@@ -154,7 +198,7 @@ def forecast_with_nowcasts(
     kw = dict(
         inv_transformation=inv_transformation, n_mcmc=n_mcmc, n_hmc=n_hmc,
         ess_threshold=ess_threshold, forecast_n_hmc=forecast_n_hmc,
-        verbose=verbose,
+        verbose=verbose, draw_seed=draw_seed,
     )
     if not _shared_dates(nowcasts):
         return _forecast_with_nowcasts_serial(
@@ -176,10 +220,21 @@ def forecast_with_nowcasts(
                 "i.i.d. rather than sharing one resampled particle set",
                 ess_threshold,
             )
+        if mesh is not None and mesh.devices.size > 1:
+            # deliberate single-device choice, not a silent fallback: the
+            # per-particle shared-Cholesky decomposition is ~S-fold less
+            # linear algebra than the row-flattened form, which beats
+            # n_dev-way sharding of the expensive form for any realistic
+            # mesh; the refresh paths below are where multi-chip pays.
+            logger.info(
+                "no-refresh nowcast path runs single-device (per-particle "
+                "shared Cholesky is ~%d-fold cheaper than the shardable "
+                "row-flattened form)", len(nowcasts))
         return _forecast_with_nowcasts_shared_chol(
             base_model, nowcasts, forecast_dates,
             int(forecast_draws_per_nowcast),
             inv_transformation=inv_transformation, verbose=verbose,
+            draw_seed=draw_seed,
         )
 
     # HBM budget: the flattened scenario x particle batch materializes
@@ -188,17 +243,25 @@ def forecast_with_nowcasts(
     # shapes -> one compilation; the last chunk is padded and trimmed).
     S = len(nowcasts)
     P = base_model.num_particles
+    n_dev = mesh.devices.size if mesh is not None else 1
+    kw["mesh"] = mesh if n_dev > 1 else None
     cap_est = max(base_model._cap, 64)
     deepest = (base_model.config.max_nodes + 1) // 2
     # peak live set is ~2 level buffers (XLA frees the rest between levels);
     # v5e has 16 GB HBM — budget 4 GB of interpreter intermediates per chunk
     bytes_per_row = 2 * deepest * cap_est * cap_est * 4
     chunk = int(np.clip(4e9 // max(P * bytes_per_row, 1), 1, S))
-    if chunk >= S:
+    if n_dev > 1:
+        # shard_map needs the scenario axis to divide the mesh: round the
+        # chunk to a device multiple and pad the trailing chunk (padded
+        # scenario rows ride otherwise-idle shards — no wall-clock cost)
+        chunk = max(n_dev, (chunk // n_dev) * n_dev)
+    if chunk >= S and S % max(n_dev, 1) == 0:
         return _forecast_with_nowcasts_batched(
             base_model, nowcasts, forecast_dates,
             int(forecast_draws_per_nowcast), **kw,
         )
+    chunk = min(chunk, -(-S // n_dev) * n_dev) if n_dev > 1 else min(chunk, S)
     blocks = []
     D = int(forecast_draws_per_nowcast)
     for lo in range(0, S, chunk):
@@ -218,8 +281,10 @@ def forecast_with_nowcasts(
 def _forecast_with_nowcasts_serial(
     base_model, nowcasts, forecast_dates, draws_per_nowcast, *,
     inv_transformation, n_mcmc, n_hmc, ess_threshold, forecast_n_hmc, verbose,
+    draw_seed=None, mesh=None,
 ):
     """General path: independent model copy per scenario (reference shape)."""
+    del mesh  # scenario date axes differ: no shared row shape to shard
     base_dict = base_model.to_dict()
     blocks = []
     for i, nc in enumerate(nowcasts):
@@ -227,7 +292,8 @@ def _forecast_with_nowcasts_serial(
         # fresh randomness per scenario (the restored state would otherwise
         # replay the same stream in every copy) — derived by hashing, not
         # advancing, the base state (no-mutation contract)
-        ss_rng, ss_key = _scenario_seed_seq(base_model, i, [nc]).spawn(2)
+        ss_rng, ss_key = _scenario_seed_seq(
+            base_model, i, [nc], draw_seed).spawn(2)
         model.rng = np.random.default_rng(ss_rng)
         model._key = jax.random.PRNGKey(int(ss_key.generate_state(1)[0]))
         add_data(model, nc.ds, nc.y)
@@ -326,7 +392,7 @@ def _shared_chol_device(types, params, log_noise, x, y_scen, mask_old,
 
 def _forecast_with_nowcasts_shared_chol(
     base_model, nowcasts, forecast_dates, draws_per_nowcast, *,
-    inv_transformation, verbose,
+    inv_transformation, verbose, draw_seed=None,
 ):
     """Host wrapper for the per-particle shared-Cholesky nowcast path.
 
@@ -362,7 +428,7 @@ def _forecast_with_nowcasts_shared_chol(
         base_model._log_noise_d, jnp.asarray(x_row), jnp.asarray(y_rows),
         jnp.asarray(mask_old), jnp.asarray(mask_new),
         jnp.asarray(base_model.log_weight.astype(np.float32)),
-        xs, _scenario_key(base_model, -1, nowcasts),
+        xs, _scenario_key(base_model, -1, nowcasts, draw_seed),
         n_draws=int(draws_per_nowcast),
     )
     out = np.asarray(samples, dtype=np.float64)
@@ -377,18 +443,30 @@ def _forecast_with_nowcasts_shared_chol(
 def _forecast_with_nowcasts_batched(
     base_model, nowcasts, forecast_dates, draws_per_nowcast, *,
     inv_transformation, n_mcmc, n_hmc, ess_threshold, forecast_n_hmc, verbose,
+    draw_seed=None, mesh=None,
 ):
     """Batched path: flattened scenario x particle axis on device.
 
     Equivalent in distribution to the serial path (each scenario conditions an
     independent copy of the ensemble), but every numerical step is one device
-    call over all S*P rows.
+    call over all S*P rows.  With ``mesh`` (caller guarantees S divides the
+    device count) the reweight LMLs, the rejuvenation sweep / HMC refresh,
+    and the per-draw forecast HMC scan run as one single-device fused
+    program per scenario shard (``parallel.sharding``); the predictive
+    build is pure XLA, so GSPMD partitions it from sharded inputs alone.
     """
     S = len(nowcasts)
     P = base_model.num_particles
     R = S * P
     hmc_cfg = HMCConfig()
     noise_mu, noise_sigma, infer = base_model.noise_prior
+    if mesh is not None:
+        from .parallel.sharding import (
+            lml_rows_sharded, rejuvenation_sweep_sharded, run_hmc_sharded,
+            forecast_hmc_scan_sharded, shard_rows,
+        )
+        assert S % mesh.devices.size == 0, (
+            "caller pads the scenario axis to a mesh multiple")
 
     # --- per-row data buffers: train block (shared) + scenario nowcast block
     n0 = base_model.n_ingested
@@ -422,12 +500,24 @@ def _forecast_with_nowcasts_batched(
     eps_scale = jnp.tile(base_model._eps_scale_d, (S,))
     types_d = jnp.asarray(host_types)
 
+    if mesh is not None:
+        (x_b, y_b, m_old_b, m_new_b, params, log_noise, eps_scale,
+         types_d) = shard_rows(
+            (x_b, y_b, m_old_b, m_new_b, params, log_noise, eps_scale,
+             types_d), mesh)
+
     # cached LML may be on a different (shuffled-capacity) buffer; recompute
     # on this buffer so add_data deltas are consistent.
-    lml_old = gp_lml_batch(types_d, params, log_noise, x_b, y_b, m_old_b,
-                           DEFAULT_JITTER)
-    lml_new = gp_lml_batch(types_d, params, log_noise, x_b, y_b, m_new_b,
-                           DEFAULT_JITTER)
+    if mesh is not None:
+        lml_old = lml_rows_sharded(types_d, params, log_noise, x_b, y_b,
+                                   m_old_b, mesh=mesh)
+        lml_new = lml_rows_sharded(types_d, params, log_noise, x_b, y_b,
+                                   m_new_b, mesh=mesh)
+    else:
+        lml_old = gp_lml_batch(types_d, params, log_noise, x_b, y_b, m_old_b,
+                               DEFAULT_JITTER)
+        lml_new = gp_lml_batch(types_d, params, log_noise, x_b, y_b, m_new_b,
+                               DEFAULT_JITTER)
     lml_old_np = np.asarray(lml_old, np.float64)
     lml_new_np = np.asarray(lml_new, np.float64)
     # a particle whose LML hits the -1e10 rejection sentinel is numerically
@@ -442,7 +532,7 @@ def _forecast_with_nowcasts_batched(
     # --- per-scenario ESS resampling (host index math, one device gather)
     if ess_threshold > 0:
         rng = np.random.default_rng(
-            _scenario_seed_seq(base_model, -2, nowcasts))
+            _scenario_seed_seq(base_model, -2, nowcasts, draw_seed))
         flat_idx = np.arange(R, dtype=np.int32)
         resampled_any = False
         for s in range(S):
@@ -460,34 +550,49 @@ def _forecast_with_nowcasts_batched(
             types_d = jnp.asarray(host_types)
 
     # --- rejuvenation on the flattened batch (device-side proposals)
-    key = _scenario_key(base_model, -3, nowcasts)
+    key = _scenario_key(base_model, -3, nowcasts, draw_seed)
     if n_mcmc > 0 and n_hmc > 0:
-        from .inference.device_smc import rejuvenation_sweep
         from .models.structures_device import ancestor_table, config_arrays
 
         key, sub = jax.random.split(key)
-        types_d, params, log_noise, lml, _, eps_scale = rejuvenation_sweep(
-            types_d, params, log_noise, lml, x_b, y_b, m_new_b, sub,
-            config_arrays(base_model.config),
-            jnp.asarray(ancestor_table(base_model.config.max_nodes)),
+        sweep_kw = dict(
             n_mcmc=int(n_mcmc), n_hmc=int(n_hmc),
             n_leapfrog=hmc_cfg.n_leapfrog, step_size=hmc_cfg.step_size,
             step_jitter=hmc_cfg.step_size_jitter, jitter=DEFAULT_JITTER,
             noise_mu=noise_mu, noise_sigma=noise_sigma, infer_noise=infer,
-            eps_scale=eps_scale,
         )
+        cfg = config_arrays(base_model.config)
+        anc = jnp.asarray(ancestor_table(base_model.config.max_nodes))
+        if mesh is not None:
+            types_d, params, log_noise, lml, _, eps_scale = (
+                rejuvenation_sweep_sharded(
+                    types_d, params, log_noise, lml, x_b, y_b, m_new_b, sub,
+                    eps_scale, cfg, anc, mesh=mesh, **sweep_kw))
+        else:
+            from .inference.device_smc import rejuvenation_sweep
+
+            types_d, params, log_noise, lml, _, eps_scale = (
+                rejuvenation_sweep(
+                    types_d, params, log_noise, lml, x_b, y_b, m_new_b, sub,
+                    cfg, anc, eps_scale=eps_scale, **sweep_kw))
         host_types = np.asarray(types_d)
     elif n_mcmc == 0 and n_hmc > 0:
         mu, sg, act = (jnp.asarray(a) for a in
                        prior_arrays(host_types, base_model.config))
         key, sub = jax.random.split(key)
-        params, log_noise, lml, _, eps_scale = run_hmc(
-            types_d, params, log_noise, mu, sg, act, x_b, y_b, m_new_b, sub,
-            n_steps=int(n_hmc), n_leapfrog=hmc_cfg.n_leapfrog,
-            step_size=hmc_cfg.step_size, step_jitter=hmc_cfg.step_size_jitter,
-            jitter=DEFAULT_JITTER, noise_mu=noise_mu, noise_sigma=noise_sigma,
-            infer_noise=infer, eps_scale=eps_scale,
+        hmc_kw = dict(
+            n_leapfrog=hmc_cfg.n_leapfrog, step_size=hmc_cfg.step_size,
+            step_jitter=hmc_cfg.step_size_jitter, jitter=DEFAULT_JITTER,
+            noise_mu=noise_mu, noise_sigma=noise_sigma, infer_noise=infer,
         )
+        if mesh is not None:
+            params, log_noise, lml, _, eps_scale = run_hmc_sharded(
+                types_d, params, log_noise, mu, sg, act, x_b, y_b, m_new_b,
+                sub, eps_scale, mesh=mesh, n_steps=int(n_hmc), **hmc_kw)
+        else:
+            params, log_noise, lml, _, eps_scale = run_hmc(
+                types_d, params, log_noise, mu, sg, act, x_b, y_b, m_new_b,
+                sub, n_steps=int(n_hmc), eps_scale=eps_scale, **hmc_kw)
 
     # --- forecast sampling
     xs = jnp.asarray(base_model._normalize_dates(list(forecast_dates)), jnp.float32)
@@ -516,19 +621,26 @@ def _forecast_with_nowcasts_batched(
         # all D draws (the plain-forecast treatment of ops/forecast_scan.py
         # applied to the flattened S*P batch) — replaces ~3 device calls per
         # draw with a single dispatch
-        from .ops.forecast_scan import nowcast_forecast_hmc_scan
-
         mu_pr, sg_pr, act_pr = (jnp.asarray(a) for a in
                                 prior_arrays(host_types, base_model.config))
         key, sub = jax.random.split(key)
-        samples, params, log_noise, eps_scale = nowcast_forecast_hmc_scan(
-            types_d, params, log_noise, mu_pr, sg_pr, act_pr,
-            x_b, y_b, m_new_b, xs, logw_d, sub, eps_scale,
+        scan_kw = dict(
             n_scenarios=S, n_draws=D, n_hmc=int(forecast_n_hmc),
             n_leapfrog=hmc_cfg.n_leapfrog, step_size=hmc_cfg.step_size,
             step_jitter=hmc_cfg.step_size_jitter, jitter=DEFAULT_JITTER,
             noise_mu=noise_mu, noise_sigma=noise_sigma, infer_noise=infer,
         )
+        if mesh is not None:
+            samples, params, log_noise, eps_scale = forecast_hmc_scan_sharded(
+                types_d, params, log_noise, mu_pr, sg_pr, act_pr,
+                x_b, y_b, m_new_b, xs, logw_d, sub, eps_scale,
+                mesh=mesh, **scan_kw)
+        else:
+            from .ops.forecast_scan import nowcast_forecast_hmc_scan
+
+            samples, params, log_noise, eps_scale = nowcast_forecast_hmc_scan(
+                types_d, params, log_noise, mu_pr, sg_pr, act_pr,
+                x_b, y_b, m_new_b, xs, logw_d, sub, eps_scale, **scan_kw)
         out = np.asarray(samples, dtype=np.float64)
 
     # back to the transformed-data scale, then the original scale

@@ -26,6 +26,8 @@ equivalence suite).
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 
 import jax
@@ -50,6 +52,8 @@ from .sharding import lml_rows_sharded, run_hmc_sharded, shard_rows
 
 __all__ = ["fit_panel", "panel_predict_mvn", "forecast_panel"]
 
+logger = logging.getLogger("nowcastautogp_tpu")
+
 
 def fit_panel(
     datasets, *, n_particles: int = 1, smc_data_proportion: float = 0.1,
@@ -66,12 +70,29 @@ def fit_panel(
     ``jax.sharding.Mesh`` whose first axis shards the flattened
     series x particle rows across devices.
     """
+    import math
+
     n_mcmc = int(n_mcmc)
     n_hmc = int(n_hmc)
     datasets = list(datasets)
     S = len(datasets)
     assert S > 0, "datasets must not be empty"
     P = int(n_particles)
+    S_real = S
+    n_dev_pad = mesh.devices.size if mesh is not None else 1
+    if n_dev_pad > 1 and (S * P) % n_dev_pad != 0:
+        # pad the SERIES axis so the flattened rows divide the mesh: the
+        # padded series duplicate real ones and ride otherwise-idle shards
+        # (wall-clock-free), keeping the fused per-shard kernels for any R
+        # instead of round 4's silent replicated pure-XLA fallback.
+        s_mult = n_dev_pad // math.gcd(P, n_dev_pad)
+        S = -(-S // s_mult) * s_mult
+        logger.info(
+            "fit_panel: padding %d series to %d so %d x %d rows divide the "
+            "%d-device mesh (padded rows are trimmed from the result)",
+            S_real, S, S, P, n_dev_pad)
+        datasets = datasets + [datasets[i % S_real]
+                               for i in range(S - S_real)]
     R = S * P
     config = config if config is not None else GPConfig()
     hmc_cfg = hmc_config or HMCConfig()
@@ -132,14 +153,12 @@ def fit_panel(
 
     # multi-device mesh ⇒ route every hot call through the shard_map
     # wrappers (per-shard fused kernels); single-device keeps plain jit.
-    # shard_map requires the row axis to divide evenly over the mesh —
-    # non-divisible panels (e.g. 6 series x 2 particles on 8 devices)
-    # fall back to the replicated pjit path with the pure-XLA LML pinned
-    # (the round-3 behavior), which handles any R.
+    # The series padding above guarantees R divides the mesh, so the fused
+    # per-shard path covers every panel (the round-4 replicated pure-XLA
+    # fallback for non-divisible R is gone).
     n_dev = mesh.devices.size if mesh is not None else 1
-    sweep_mesh = mesh if n_dev > 1 and R % n_dev == 0 else None
-    pin_jnp = n_dev > 1 and sweep_mesh is None
-    lml_backend = "jnp" if pin_jnp else None
+    sweep_mesh = mesh if n_dev > 1 else None
+    lml_backend = None
 
     # ---- shared proportion grid: anneal every series together
     n_max = max(lens)
@@ -228,7 +247,7 @@ def fit_panel(
     lml_np = np.asarray(lml)
     scale_np = np.asarray(eps_scale)
     models = []
-    for s, d in enumerate(datasets):
+    for s, d in enumerate(datasets[:S_real]):
         sl = slice(s * P, (s + 1) * P)
         t0, t_scale, y_mean, y_std = norms[s]
         sub_seed = seed_seq.generate_state(2 + s)[-1]
@@ -261,12 +280,22 @@ def _panel_predict_rows(models, forecast_dates, *, include_noise, mesh):
     factors (``sampling_cholesky``), plus the per-series normalized weights
     (S, P).
     """
+    import math
+
     models = list(models)
     S = len(models)
     assert S > 0, "models must not be empty"
     P = models[0].num_particles
     assert all(m.num_particles == P for m in models), (
         "panel forecast requires a shared particle count")
+    S_real = S
+    n_dev = mesh.devices.size if mesh is not None else 1
+    if n_dev > 1 and (S * P) % n_dev != 0:
+        # same series padding as fit_panel: keep the row axis divisible so
+        # the predictive build shards instead of replicating
+        s_mult = n_dev // math.gcd(P, n_dev)
+        S = -(-S_real // s_mult) * s_mult
+        models = models + [models[i % S_real] for i in range(S - S_real)]
     dates = list(forecast_dates)
     nq = len(dates)
     cap = max(int(m._cap) for m in models)
@@ -301,13 +330,13 @@ def _panel_predict_rows(models, forecast_dates, *, include_noise, mesh):
         DEFAULT_JITTER, include_noise)
     F = sampling_cholesky(cov)
 
-    mu = np.asarray(mu, np.float64).reshape(S, P, nq)
-    F = np.asarray(F, np.float64).reshape(S, P, nq, nq)
-    y_mean = np.asarray([m._y_mean for m in models])[:, None, None]
-    y_std = np.asarray([m._y_std for m in models])[:, None, None]
+    mu = np.asarray(mu, np.float64).reshape(S, P, nq)[:S_real]
+    F = np.asarray(F, np.float64).reshape(S, P, nq, nq)[:S_real]
+    y_mean = np.asarray([m._y_mean for m in models[:S_real]])[:, None, None]
+    y_std = np.asarray([m._y_std for m in models[:S_real]])[:, None, None]
     mu = y_mean + y_std * mu
     F = y_std[..., None] * F
-    return mu, F, np.stack(w_rows)
+    return mu, F, np.stack(w_rows[:S_real])
 
 
 def panel_predict_mvn(models, forecast_dates, *, include_noise: bool = True,

@@ -29,6 +29,7 @@ from ..inference.structure_mcmc import _structure_move_body
 __all__ = [
     "make_mesh", "shard_rows", "panel_smc_step",
     "lml_rows_sharded", "structure_move_sharded", "run_hmc_sharded",
+    "rejuvenation_sweep_sharded", "forecast_hmc_scan_sharded",
 ]
 
 
@@ -173,6 +174,89 @@ def run_hmc_sharded(
         out_specs=tuple([spec] * 5), check_vma=False,
     )(types, params, log_noise, prior_mu, prior_sigma, prior_active,
       x, y, mask, eps_scale, key)
+
+
+@partial(jax.jit, static_argnames=(
+    "mesh", "axis_name", "n_mcmc", "n_hmc", "n_leapfrog"))
+def rejuvenation_sweep_sharded(
+    types, params, log_noise, lml, x, y, mask, key, eps_scale, cfg, anc, *,
+    mesh, n_mcmc, n_hmc, n_leapfrog, step_size, step_jitter,
+    jitter=DEFAULT_JITTER, noise_mu=-2.0, noise_sigma=1.0, infer_noise=1.0,
+    axis_name="series",
+):
+    """``inference.device_smc.rejuvenation_sweep`` over a mesh.
+
+    The nowcast-conditioned forecaster's structure+HMC refresh
+    (``nowcast.py``) on the flattened scenario x particle rows: one
+    single-device fused program per shard, device-side involutive
+    proposals included.  ``cfg``/``anc`` (the structure-prior tables) are
+    replicated; the key folds with the shard index as in the other
+    wrappers.  Returns (types, params, log_noise, lml, accept_rate_rows,
+    eps_scale) — the accept diagnostic is broadcast to row shape so it can
+    shard (callers mean it).
+    """
+    from ..inference.device_smc import _sweep_batched
+
+    spec = P(axis_name)
+
+    def body(t, p, ln, l0, xb, yb, mb, es, cfg_b, anc_b, k):
+        k = jax.random.fold_in(k, jax.lax.axis_index(axis_name))
+        t2, p2, ln2, l2, rate, es2 = _sweep_batched(
+            t, p, ln, l0, xb, yb, mb, k, es, cfg_b, anc_b,
+            n_mcmc, n_hmc, n_leapfrog, step_size, step_jitter, jitter,
+            noise_mu, noise_sigma, infer_noise,
+        )
+        return t2, p2, ln2, l2, jnp.full(l2.shape, rate), es2
+
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=_row_specs(8, axis_name) + (P(), P(), P()),
+        out_specs=tuple([spec] * 6), check_vma=False,
+    )(types, params, log_noise, lml, x, y, mask, eps_scale, cfg, anc, key)
+
+
+@partial(jax.jit, static_argnames=(
+    "mesh", "axis_name", "n_scenarios", "n_draws", "n_hmc", "n_leapfrog"))
+def forecast_hmc_scan_sharded(
+    types, params, log_noise, prior_mu, prior_sigma, prior_active,
+    x, y, mask, xs, log_w, key, eps_scale, *,
+    mesh, n_scenarios, n_draws, n_hmc, n_leapfrog, step_size, step_jitter,
+    jitter=DEFAULT_JITTER, noise_mu=-2.0, noise_sigma=1.0, infer_noise=1.0,
+    axis_name="series",
+):
+    """``ops.forecast_scan.nowcast_forecast_hmc_scan`` over a mesh.
+
+    The per-draw-HMC forecast scan with scenarios sharded: each shard runs
+    the full scan for its local ``n_scenarios / n_devices`` scenarios
+    (scenario blocks are contiguous in the row axis, so the (m, S*D)
+    output's column axis shards to the same concatenation order the
+    unsharded call produces).  ``xs`` is the shared forecast grid
+    (replicated); ``log_w`` is the (S, P) per-scenario weights, sharded on
+    the scenario axis.
+    """
+    from ..ops.forecast_scan import nowcast_forecast_hmc_scan
+
+    n_dev = mesh.devices.size
+    assert n_scenarios % n_dev == 0
+    s_loc = n_scenarios // n_dev
+    spec = P(axis_name)
+
+    def body(t, p, ln, mu, sg, act, xb, yb, mb, lw, es, xs_b, k):
+        k = jax.random.fold_in(k, jax.lax.axis_index(axis_name))
+        return nowcast_forecast_hmc_scan(
+            t, p, ln, mu, sg, act, xb, yb, mb, xs_b, lw, k, es,
+            n_scenarios=s_loc, n_draws=n_draws, n_hmc=n_hmc,
+            n_leapfrog=n_leapfrog, step_size=step_size,
+            step_jitter=step_jitter, jitter=jitter, noise_mu=noise_mu,
+            noise_sigma=noise_sigma, infer_noise=infer_noise,
+        )
+
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=_row_specs(11, axis_name) + (P(), P()),
+        out_specs=(P(None, axis_name), spec, spec, spec), check_vma=False,
+    )(types, params, log_noise, prior_mu, prior_sigma, prior_active,
+      x, y, mask, log_w, eps_scale, xs, key)
 
 
 @partial(jax.jit, static_argnames=("n_hmc", "n_leapfrog"))

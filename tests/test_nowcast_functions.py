@@ -14,6 +14,8 @@ import datetime as dt
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.engine
+
 import nowcastautogp_tpu as ngp
 
 
@@ -138,6 +140,40 @@ class TestForecastWithNowcasts:
         fc2 = ngp.forecast_with_nowcasts(model, ncs, f_dates, 2, **kw)
         np.testing.assert_array_equal(fc1, fc2)
 
+    def test_draw_seed_gives_fresh_independent_draws(self, base):
+        """``draw_seed`` (advisor r4): a caller accumulating Monte Carlo
+        draws across repeated identical calls can request fresh streams —
+        distinct seeds differ, equal seeds reproduce, and the base model
+        stays bit-identical."""
+        model, fwd, inv, obs, nc_dates, f_dates = base
+        ncs = self._scenarios(base, 2)
+        before = model.to_dict()
+        for kw in (dict(n_mcmc=0, n_hmc=0),           # shared-chol path
+                   dict(n_mcmc=0, n_hmc=1)):          # batched path
+            kw = dict(inv_transformation=inv, **kw)
+            a1 = ngp.forecast_with_nowcasts(
+                model, ncs, f_dates, 2, draw_seed=1, **kw)
+            a1b = ngp.forecast_with_nowcasts(
+                model, ncs, f_dates, 2, draw_seed=1, **kw)
+            a2 = ngp.forecast_with_nowcasts(
+                model, ncs, f_dates, 2, draw_seed=2, **kw)
+            np.testing.assert_array_equal(a1, a1b)
+            assert not np.array_equal(a1, a2)
+        # serial path (heterogeneous dates)
+        hetero = [
+            ngp.create_transformed_data(
+                nc_dates[:1 + i], obs[-1] * np.ones(1 + i) * 1.01,
+                transformation=fwd)
+            for i in range(2)
+        ]
+        s1 = ngp.forecast_with_nowcasts(
+            model, hetero, f_dates, 2, inv_transformation=inv, draw_seed=1)
+        s2 = ngp.forecast_with_nowcasts(
+            model, hetero, f_dates, 2, inv_transformation=inv, draw_seed=2)
+        assert not np.array_equal(s1, s2)
+        after = model.to_dict()
+        assert before["rng_state"] == after["rng_state"]
+
     def test_assertion_violations(self, base):
         model, fwd, inv, obs, nc_dates, f_dates = base
         ncs = self._scenarios(base, 2)
@@ -179,6 +215,41 @@ class TestForecastWithNowcasts:
         assert fb.shape == fs.shape == (3, 180)
         mb, ms = np.median(fb), np.median(fs)
         assert abs(np.log(mb / ms)) < 0.35  # same distribution, loose check
+
+    @pytest.mark.parametrize("opts", [
+        dict(n_mcmc=0, n_hmc=1),
+        dict(n_mcmc=1, n_hmc=1),
+        dict(forecast_n_hmc=1),
+    ])
+    def test_mesh_scenario_axis_matches_unsharded(self, base, opts):
+        """VERDICT r4 item 5: ``forecast_with_nowcasts(mesh=)`` shards the
+        flattened scenario x particle rows; the sharded refresh paths must
+        match the unsharded ones distributionally (RNG streams differ by
+        the per-shard key fold, so the check is distribution-level)."""
+        from nowcastautogp_tpu.parallel.sharding import make_mesh
+
+        model, fwd, inv, obs, nc_dates, f_dates = base
+        ncs = self._scenarios(base, 8)  # divides the 8-device mesh
+        kw = dict(inv_transformation=inv, **opts)
+        f0 = ngp.forecast_with_nowcasts(model, ncs, f_dates, 25, **kw)
+        fm = ngp.forecast_with_nowcasts(
+            model, ncs, f_dates, 25, mesh=make_mesh(8), **kw)
+        assert fm.shape == f0.shape == (len(f_dates), 8 * 25)
+        assert np.all(np.isfinite(fm))
+        assert abs(np.log(np.median(fm) / np.median(f0))) < 0.35
+
+    def test_mesh_scenario_axis_nondivisible_padded(self, base):
+        """Scenario counts that don't divide the mesh are padded to the
+        next multiple and trimmed — no silent slow path, right shape."""
+        from nowcastautogp_tpu.parallel.sharding import make_mesh
+
+        model, fwd, inv, obs, nc_dates, f_dates = base
+        ncs = self._scenarios(base, 5)
+        fm = ngp.forecast_with_nowcasts(
+            model, ncs, f_dates, 4, inv_transformation=inv, n_hmc=1,
+            mesh=make_mesh(8))
+        assert fm.shape == (len(f_dates), 5 * 4)
+        assert np.all(np.isfinite(fm))
 
     def test_shared_chol_matches_serial_distribution(self, base):
         # the no-refresh public path routes through the per-particle

@@ -10,6 +10,8 @@ import datetime as dt
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.engine
+
 import jax
 import jax.numpy as jnp
 
@@ -412,8 +414,9 @@ class TestShardMapFused:
 
     def test_fit_panel_nondivisible_rows_fall_back(self):
         """Rows that don't divide the mesh must not crash in shard_map:
-        the panel falls back to the replicated pjit path (review finding
-        r4: 3 series x 1 particle on a 2-device mesh)."""
+        round 5 pads the series axis to a mesh multiple (padded rows are
+        trimmed), so the fused per-shard path covers 3 series x 1
+        particle on a 2-device mesh with no replicated fallback."""
         mesh = make_mesh(2)
         datasets = _panel(3, seed=31)
         models = fit_panel(
@@ -518,3 +521,56 @@ class TestPanelForecast:
             n_mcmc=1, n_hmc=1, seed=0)
         with pytest.raises(AssertionError, match="shared particle count"):
             ngp.forecast_panel([models[0], other], _dates(2), 10)
+
+
+class TestPanelSerialParity:
+    """VERDICT r4 item 1's parity arm: panel-batched fits must match serial
+    fits DISTRIBUTIONALLY at fixed seeds (RNG streams differ — the panel
+    anneals all series in one chain — so the check is on the fitted
+    posterior's predictive mass, not bit-equality)."""
+
+    def test_fit_panel_matches_serial_fit_distribution(self):
+        datasets = _panel(2, n=30, seed=40)
+        kw = dict(n_particles=4, smc_data_proportion=0.34, n_mcmc=2, n_hmc=2)
+        panel_models = fit_panel(datasets, seed=41, **kw)
+        f_dates = _dates(4, start=dt.date(2023, 1, 2) + dt.timedelta(weeks=30))
+        for s, d in enumerate(datasets):
+            serial = ngp.make_and_fit_model(d, seed=42 + s, **kw)
+            mp = ngp.predict_mvn(panel_models[s], f_dates)
+            ms = ngp.predict_mvn(serial, f_dates)
+            # weighted predictive means on the transformed scale: same data,
+            # same budgets => same posterior family; loose tolerance absorbs
+            # the chain noise of tiny test budgets
+            mu_p = float(np.mean(mp.weights @ mp.means))
+            mu_s = float(np.mean(ms.weights @ ms.means))
+            assert np.isfinite(mu_p) and np.isfinite(mu_s)
+            assert abs(mu_p - mu_s) < 1.0, (s, mu_p, mu_s)
+
+    def test_acceptance_panel_fit_matches_serial(self):
+        """fit_on_data_panel (the batched acceptance fit) produces per-date
+        fitted dicts interchangeable with fit_on_data's."""
+        from nowcastautogp_tpu.eval.acceptance import (
+            fit_on_data, fit_on_data_panel, synthetic_nhsn_vintage,
+        )
+
+        v = synthetic_nhsn_vintage(36, seed=3)
+        rds = list(v.report_date_range())[28:32:2]
+        kw = dict(n_particles=2, smc_data_proportion=0.34, n_mcmc=2, n_hmc=2)
+        panel_fitted = fit_on_data_panel(v, rds, seed=7, **kw)
+        assert len(panel_fitted) == len(rds)
+        for i, rd in enumerate(rds):
+            serial_fitted = fit_on_data(v, rd, seed=7 + i, **kw)
+            pf, sf = panel_fitted[i], serial_fitted
+            assert pf["forecast_dates"] == sf["forecast_dates"]
+            np.testing.assert_allclose(pf["revise_values"],
+                                       sf["revise_values"])
+            # both carry a valid fitted model over the same redacted data
+            mp = ngp.GPModel(pf["model_dict"])
+            ms = ngp.GPModel(sf["model_dict"])
+            assert mp.n_ingested == ms.n_ingested
+            fp = ngp.forecast(mp, pf["forecast_dates"], 40,
+                              inv_transformation=pf["inv_transformation"])
+            fs = ngp.forecast(ms, sf["forecast_dates"], 40,
+                              inv_transformation=sf["inv_transformation"])
+            assert np.all(np.isfinite(fp)) and np.all(fp > 0)
+            assert abs(np.log(np.median(fp) / np.median(fs))) < 0.5
