@@ -21,11 +21,18 @@ import time
 import numpy as np
 
 
-def _series(n: int, seed: int = 0):
+def _series(n: int, seed: int = 0, family: str = "nhsn"):
     import datetime as dt
 
-    rng = np.random.default_rng(seed)
     dates = [dt.date(2022, 1, 3) + dt.timedelta(weeks=i) for i in range(n)]
+    if family == "outbreak_cp":
+        # the structure-shift family (hard reporting-system changepoint,
+        # heavy-tailed noise) — second gated family so the quality gate
+        # can't silently regress on changepoint data (VERDICT r4 item 3)
+        from nowcastautogp_tpu.eval.families import outbreak_cp
+
+        return dates, outbreak_cp(n, seed)
+    rng = np.random.default_rng(seed)
     t = np.arange(n)
     truth = 800 * np.exp(
         0.15 * np.sin(2 * np.pi * t / 52)
@@ -39,7 +46,7 @@ def _series(n: int, seed: int = 0):
 def run(n_particles=200, n_train=150, n_mcmc=None, n_hmc=None,
         n_scenarios=100, draws_per=20, horizon=8, seed=1, verbose=False,
         smc_data_proportion=0.1, adaptive_rejuvenation=False,
-        n_leapfrog=None):
+        n_leapfrog=None, family="nhsn"):
     import datetime as dt
 
     import nowcastautogp_tpu as ngp
@@ -47,7 +54,7 @@ def run(n_particles=200, n_train=150, n_mcmc=None, n_hmc=None,
     n_mcmc = N_MCMC if n_mcmc is None else n_mcmc
     n_hmc = N_HMC if n_hmc is None else n_hmc
     n_leapfrog = N_LEAPFROG if n_leapfrog is None else n_leapfrog
-    dates, obs = _series(n_train + 2 + horizon, seed)
+    dates, obs = _series(n_train + 2 + horizon, seed, family)
     train_dates, train_obs = dates[:n_train], obs[:n_train]
     fwd, inv = ngp.get_transformations("boxcox", train_obs)
     data = ngp.create_transformed_data(train_dates, train_obs, transformation=fwd)
@@ -101,6 +108,14 @@ def run(n_particles=200, n_train=150, n_mcmc=None, n_hmc=None,
 GATE_MAX_LOG_CRPS = 0.105
 GATE_COVERAGE90 = (0.70, 1.0)
 SEEDS = (2, 3, 4)
+# Second gated family (VERDICT r4 item 3): the outbreak_cp structure-shift
+# generator, so perf tuning can't silently regress on changepoint data the
+# nhsn gate never sees.  This family is heavy-tailed with occasional
+# catastrophic seeds at ANY budget (budget study: canonical seed-11 0.44,
+# bench seed-10 0.71), so the gate bounds the 3-seed MEDIAN at ~2x the
+# family's cross-config median spread — a collapse bound, not seed noise.
+GATE2_FAMILY = "outbreak_cp"
+GATE2_MAX_MEDIAN_LOG_CRPS = 0.45
 # Operating point: the cheapest configuration statistically indistinguishable
 # from the reference's canonical 24-particle 50x50 workload on BOTH series
 # families of the budget study (tools/budget_study_results.json, n=5 seeds
@@ -171,9 +186,23 @@ def main():
         "coverage90": round(float(np.mean(cover_seeds)), 3),
         "coverage90_per_seed": cover_seeds,
     }
+    # second-family gate: same operating point on the changepoint family
+    # (shapes identical to the nhsn runs, so no extra compilation)
+    cp_crps = []
+    for seed in SEEDS:
+        _, _, _, q2 = run(seed=seed, family=GATE2_FAMILY)
+        cp_crps.append(q2["log_crps"])
+    cp_median = float(np.median(cp_crps))
+    gate2_ok = cp_median <= GATE2_MAX_MEDIAN_LOG_CRPS
+    quality.update({
+        "cp_family_log_crps_per_seed": cp_crps,
+        "cp_family_log_crps_median": round(cp_median, 4),
+    })
+
     gate_ok = (quality["log_crps"] <= GATE_MAX_LOG_CRPS
                and GATE_COVERAGE90[0] <= quality["coverage90"]
-               <= GATE_COVERAGE90[1])
+               <= GATE_COVERAGE90[1]
+               and gate2_ok)
     total = fit_s + fc_s
     target = 60.0
 
@@ -207,12 +236,17 @@ def main():
                     "quality_gate_ok": gate_ok,
                     "gate_max_log_crps": GATE_MAX_LOG_CRPS,
                     "gate_coverage90": list(GATE_COVERAGE90),
+                    "gate2_family": GATE2_FAMILY,
+                    "gate2_max_median_log_crps": GATE2_MAX_MEDIAN_LOG_CRPS,
+                    "gate2_ok": gate2_ok,
                     **quality, **mfu_detail},
     }))
     if not gate_ok:
         print(f"QUALITY GATE FAILED: log_crps {quality['log_crps']} "
               f"(max {GATE_MAX_LOG_CRPS}), coverage90 "
-              f"{quality['coverage90']} (bounds {GATE_COVERAGE90})",
+              f"{quality['coverage90']} (bounds {GATE_COVERAGE90}), "
+              f"{GATE2_FAMILY} median {quality['cp_family_log_crps_median']} "
+              f"(max {GATE2_MAX_MEDIAN_LOG_CRPS})",
               file=sys.stderr)
         sys.exit(1)
 

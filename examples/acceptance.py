@@ -27,7 +27,7 @@ import time
 
 
 def run(full: bool = False, smoke: bool = False, n_report_dates: int = 4,
-        seed: int = 0, rev_regime: str = "harsh"):
+        seed: int = 0, rev_regime: str = "harsh", panel: bool = True):
     from nowcastautogp_tpu.utils.cache import enable_persistent_cache
     enable_persistent_cache()
     from nowcastautogp_tpu.eval.acceptance import (
@@ -68,17 +68,19 @@ def run(full: bool = False, smoke: bool = False, n_report_dates: int = 4,
     t0 = time.time()
     res = run_acceptance(
         vintage, report_dates=report_dates, n_forecasts=n_forecasts,
-        n_nowcast_samples=n_nowcast, seed=seed, verbose=True, **rev,
-        **fit_kw,
+        n_nowcast_samples=n_nowcast, seed=seed, verbose=True, panel=panel,
+        **rev, **fit_kw,
     )
     res["wallclock_s"] = round(time.time() - t0, 1)
     res["fit_kwargs"] = fit_kw
     res["revision_model"] = rev
     res["rev_regime"] = rev_regime
+    res["panel_fit"] = panel
     print(json.dumps({k: res[k] for k in
                       ("scores", "ratios", "scores_wis", "ratios_wis",
                        "per_report", "n_report_dates",
-                       "wallclock_s", "fit_kwargs", "revision_model")},
+                       "wallclock_s", "fit_kwargs", "revision_model",
+                       "panel_fit")},
                      indent=2))
     return res
 
@@ -91,6 +93,9 @@ if __name__ == "__main__":
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--report-dates", type=int, default=4)
     ap.add_argument("--rev", choices=("harsh", "vignette"), default="harsh")
+    # --serial restores the reference-shaped per-date fits (the default
+    # batches all report dates as one panel program; VERDICT r4 item 1)
+    ap.add_argument("--serial", action="store_true")
     args = ap.parse_args()
     run(full=args.full, smoke=args.smoke, n_report_dates=args.report_dates,
-        rev_regime=args.rev)
+        rev_regime=args.rev, panel=not args.serial)

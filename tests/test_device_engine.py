@@ -12,6 +12,8 @@ import datetime as dt
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.engine
+
 import jax
 import jax.numpy as jnp
 

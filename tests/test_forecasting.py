@@ -11,6 +11,8 @@ import datetime as dt
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.engine
+
 import nowcastautogp_tpu as ngp
 
 

@@ -12,6 +12,8 @@ import datetime as dt
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.engine
+
 import nowcastautogp_tpu as ngp
 from nowcastautogp_tpu.fitting import _stabilize_for_fit
 

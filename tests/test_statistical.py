@@ -13,6 +13,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.engine
+
 import nowcastautogp_tpu as ngp
 from nowcastautogp_tpu.models.structures import LINEAR, PERIODIC
 

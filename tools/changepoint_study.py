@@ -46,6 +46,26 @@ def regime_shift(n, seed):
     return np.exp(y), t_cp
 
 
+def sharp_break(n, seed):
+    """Sharp-break family (VERDICT r4 item 6): the CPU payoff test's regime
+    (tests/test_statistical.py TestChangepointRecovery._regime_shift — a
+    2.0 log-level jump with growth->decline reversal, far sharper than
+    :func:`regime_shift`'s 0.6-1.1 jump), with the break LATE in training
+    (12 +- 4 weeks before the forecast origin) so the horizon must
+    extrapolate the new regime — the setting where smooth kernels fail
+    and CP structure can pay off at TPU scale."""
+    rng = np.random.default_rng(seed + 61_000)
+    t = np.arange(n)
+    t_cp = n - 8 - 12 + int(rng.integers(-4, 5))
+    level = np.where(t < t_cp, 4.0, 6.0)
+    slope = np.where(t < t_cp, 0.004, -0.03) * (t - t_cp)
+    y = level + slope + 0.05 * rng.standard_normal(n)
+    return np.exp(y), t_cp
+
+
+FAMILIES = {"regime_shift": regime_shift, "sharp_break": sharp_break}
+
+
 def cp_mass(model) -> float:
     """Weight-weighted posterior fraction of particles with a CP node."""
     from nowcastautogp_tpu.models.structures import CP
@@ -58,11 +78,11 @@ def cp_mass(model) -> float:
 
 
 def run_one(seed, n_train=110, horizon=8, draws=2000, n_particles=200,
-            n_mcmc=14, n_hmc=5):
+            n_mcmc=14, n_hmc=5, family="regime_shift"):
     import nowcastautogp_tpu as ngp
 
     n = n_train + horizon
-    obs, t_cp = regime_shift(n, seed)
+    obs, t_cp = FAMILIES[family](n, seed)
     dates = [dt.date(2022, 1, 3) + dt.timedelta(weeks=i) for i in range(n)]
     data = ngp.create_transformed_data(
         dates[:n_train], obs[:n_train], transformation=np.log)
@@ -89,6 +109,9 @@ def run_one(seed, n_train=110, horizon=8, draws=2000, n_particles=200,
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--seeds", type=int, default=5)
+    ap.add_argument("--family", default="regime_shift",
+                    choices=list(FAMILIES))
+    ap.add_argument("--horizon", type=int, default=8)
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         "changepoint_study_results.json"))
@@ -99,30 +122,35 @@ def main() -> None:
     jax.config.update("jax_compilation_cache_dir", "/tmp/ngp_jax_cache_tpu")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    rows = []
+    existing = {}
     if os.path.exists(args.out):
         with open(args.out) as f:
-            rows = json.load(f).get("rows", [])
+            existing = json.load(f)
+    rows_key = "rows" if args.family == "regime_shift" else (
+        "rows_" + args.family)
+    rows = existing.get(rows_key, [])
     done = {r["seed"] for r in rows}
-    summary = {"rows": rows}
+    summary = dict(existing)
     for seed in range(args.seeds):
         if seed in done:
             continue
-        r = run_one(seed)
+        r = run_one(seed, family=args.family, horizon=args.horizon)
         rows.append(r)
         print(json.dumps(r), flush=True)
-        summary = {
-            "workload": "110wk regime shift, 200p 14x5 fit, 8wk horizon",
-            "rows": rows,
-            "mean_cp_mass": round(float(np.mean(
+        prefix = "" if args.family == "regime_shift" else args.family + "_"
+        summary[rows_key] = rows
+        summary.setdefault(
+            "workload", "110wk regime shift, 200p 14x5 fit, 8wk horizon")
+        summary.update({
+            prefix + "mean_cp_mass": round(float(np.mean(
                 [r["cp_mass"] for r in rows])), 3),
-            "mean_nocp_mass": round(float(np.mean(
+            prefix + "mean_nocp_mass": round(float(np.mean(
                 [r["nocp_mass"] for r in rows])), 3),
-            "mean_cp_log_crps": round(float(np.mean(
+            prefix + "mean_cp_log_crps": round(float(np.mean(
                 [r["cp_log_crps"] for r in rows])), 4),
-            "mean_nocp_log_crps": round(float(np.mean(
+            prefix + "mean_nocp_log_crps": round(float(np.mean(
                 [r["nocp_log_crps"] for r in rows])), 4),
-        }
+        })
         with open(args.out, "w") as f:
             json.dump(summary, f, indent=1)
             f.write("\n")
