@@ -100,6 +100,11 @@ def run_one(family, seed, cfg_name, n_train=150, horizon=8, draws=2000):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seeds", type=int, default=5)
+    ap.add_argument("--seed-start", type=int, default=10)
+    ap.add_argument("--families", nargs="+", default=list(FAMILIES),
+                    choices=list(FAMILIES))
+    ap.add_argument("--only-configs", nargs="+", default=None,
+                    help="explicit config-name list (overrides --configs)")
     ap.add_argument("--configs", default="all",
                     choices=["all", "bench", "canonical"])
     ap.add_argument("--out", default="tools/budget_study_results.json")
@@ -115,13 +120,15 @@ def main():
         cfgs = ["bench_200_14x3"]
     elif args.configs == "canonical":
         cfgs = ["canonical_24_50x50"]
+    if args.only_configs:
+        cfgs = args.only_configs
 
     results = []
     if os.path.exists(args.out):
         results = json.load(open(args.out))
     done = {(r["family"], r["seed"], r["config"]) for r in results}
-    for family in FAMILIES:
-        for seed in range(10, 10 + args.seeds):
+    for family in args.families:
+        for seed in range(args.seed_start, args.seed_start + args.seeds):
             for cfg in cfgs:
                 key = (family, seed, cfg)
                 if key in done:
