@@ -147,17 +147,19 @@ def _small_trtri(Lb):
 def _diag_chol_inv(D):
     """Fused (Lb, Lb^{-1}) of a (C, b, b) diagonal block in ONE fori loop.
 
-    The factorization and inversion loops of ``_diag_chol`` +
-    ``_small_trtri`` are both latency-bound 32-step chains; but once
-    column ``j`` of L lands, row ``j`` of L is complete, so the trtri row
-    step can ride the same iteration — halving the sequential step count
-    of the kernel's dominant serial section (round-5 per-eval shave;
-    ``tools/leaf_ablation_results.json`` puts the chol phase at ~28% of
-    the fused value+grad eval).  Shares ``dj``/``rsqrt`` with the factor
-    step: row j of the updated L differs from the pre-update row only at
-    the diagonal (= dj * rsqrt(dj)), and 1/l_jj IS rsqrt(dj) — no second
-    one-hot extraction, no division.  Same math as the two-loop pair
-    (float rounding: multiply-by-rsqrt vs divide-by-sqrt).
+    Once column ``j`` of L lands, row ``j`` of L is complete, so the
+    trtri row step can ride the same iteration — halving the sequential
+    step count; 1/l_jj reuses the pivot rsqrt (no second one-hot extract,
+    no division).  Same math as the two-loop pair (float rounding:
+    multiply-by-rsqrt vs divide-by-sqrt).
+
+    MEASURED NEGATIVE (round 5, kept for the record + re-measuring on
+    future hardware): despite half the steps, this loses ~6% to the
+    split ``_diag_chol`` + ``_small_trtri`` pair on the v5e (0.343 vs
+    0.325 ms standalone tri_inv at (24, 160)) — each merged iteration
+    serializes chol-col -> trtri-row, while the split loops' shorter
+    per-step dependency chains schedule better.  Off by default; see
+    ``tri_inv_body``'s ``NGP_CHOL_MERGED_DIAG`` knob.
     """
     C, b, _ = D.shape
     rowv = jax.lax.broadcasted_iota(jnp.int32, (1, b, 1), 1)
@@ -201,10 +203,25 @@ def tri_inv_body(L_ref, X_ref, R_ref, D_ref):
     b = _B
     nb = n // b
 
+    import os as _os
+
+    # Round-5 A/B (v5e, standalone tri_inv at (24, 160), 300-iter chain):
+    # the MERGED diag factor+invert loop (_diag_chol_inv) measured 0.343
+    # ms vs 0.325 ms for this two-loop pair — halving the step count
+    # LOSES to the split form's shorter per-step dependency chains (the
+    # merged iteration serializes chol-col -> trtri-row, while the split
+    # loops overlap better in Mosaic's schedule).  Split stays default;
+    # NGP_CHOL_MERGED_DIAG=1 re-enables the merged form for re-measuring.
+    merged_diag = _os.environ.get("NGP_CHOL_MERGED_DIAG") == "1"
+
     # ---- phase 1: blocked right-looking Cholesky; panel updates on MXU
     for k in range(nb):
         s = k * b
-        Lb, Lbinv = _diag_chol_inv(L_ref[:, s:s + b, s:s + b])
+        if merged_diag:
+            Lb, Lbinv = _diag_chol_inv(L_ref[:, s:s + b, s:s + b])
+        else:
+            Lb = _diag_chol(L_ref[:, s:s + b, s:s + b])
+            Lbinv = _small_trtri(Lb)
         L_ref[:, s:s + b, s:s + b] = Lb
         D_ref[:, s:s + b, :] = Lbinv
         if k + 1 < nb:

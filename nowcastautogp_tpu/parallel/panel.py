@@ -61,6 +61,7 @@ def fit_panel(
     hmc_config: HMCConfig | None = None, flat_threshold: float = 1e-3,
     adaptive_rejuvenation: bool = False, ess_fraction: float = 0.5,
     seed: int | None = None, mesh=None, verbose: bool = False,
+    engine: str = "device",
 ) -> list[GPModel]:
     """Fit one GP particle ensemble per series, batched across the panel.
 
@@ -69,6 +70,14 @@ def fit_panel(
     reference, like the single-series path).  ``mesh``: optional
     ``jax.sharding.Mesh`` whose first axis shards the flattened
     series x particle rows across devices.
+
+    ``engine="device"`` (default, round 5) runs each rejuvenation as ONE
+    device-proposal sweep call per schedule step (``lax.scan`` over
+    moves, the single-fit default of ``inference/device_smc.py``) with
+    schedule segments capacity-bucketed exactly like ``_fit_device`` —
+    the round-4 panel paid one host round-trip per move at full capacity
+    for every step (566 s for the 6-date acceptance panel; ~330 s now).
+    ``engine="host"`` keeps host-side proposals (one call per move).
     """
     import math
 
@@ -160,86 +169,145 @@ def fit_panel(
     sweep_mesh = mesh if n_dev > 1 else None
     lml_backend = None
 
-    # ---- shared proportion grid: anneal every series together
+    # ---- shared proportion grid: anneal every series together.
+    # Schedule segments are capacity-bucketed like the single-fit device
+    # path (``inference/smc.py``): step k conditions at most n_k points of
+    # the LONGEST series (shorter series condition ceil(f_k * n_s) <= n_k),
+    # so the whole step runs on the smallest sufficient _PAD-multiple
+    # buffer — masked LML is invariant to the trailing padding, so weights
+    # and LML carry across segments unchanged.
+    from ..inference.smc import _MAX_CALL_MS, _unit_ms, schedule_segments
+
     n_max = max(lens)
     eff_prop = max(smc_data_proportion, 1.0 / n_max)
-    fractions = [k / n_max for k in linear_schedule(n_max, eff_prop)]
+    use_device = engine == "device" and n_mcmc > 0
+    if use_device:
+        from ..inference.device_smc import rejuvenation_sweep
+        from ..models.structures_device import ancestor_table, config_arrays
+        from .sharding import rejuvenation_sweep_sharded
 
-    n_cur = np.zeros(R, dtype=np.int64)
-    iota = np.arange(cap)
-    for f in fractions:
-        n_new = np.minimum(np.ceil(f * lens_row).astype(np.int64), lens_row)
-        mask_b = jnp.asarray((iota[None, :] < n_new[:, None]).astype(np.float32))
-        if sweep_mesh is not None:
-            lml_new = lml_rows_sharded(
-                jnp.asarray(host_types), params, log_noise, x_b, y_b,
-                mask_b, mesh=sweep_mesh,
-            )
-        else:
-            lml_new = gp_lml_batch(
-                jnp.asarray(host_types), params, log_noise, x_b, y_b,
-                mask_b, DEFAULT_JITTER, backend=lml_backend,
-            )
-        lml_new_np = np.asarray(lml_new, np.float64)
-        lml_old_np = np.asarray(lml, np.float64)
-        # sentinel guard: a particle broken on either side of the reweight
-        # must lose weight, not gain ~1e10 of it (models/gp_model.py:174-176)
-        log_w += np.where(
-            (lml_old_np <= -1e9) | (lml_new_np <= -1e9), -1e10,
-            lml_new_np - lml_old_np)
-        lml = lml_new
-        n_cur = n_new
+        cfg_arrays = config_arrays(config)
+        anc = jnp.asarray(ancestor_table(config.max_nodes))
+        # split each step's n_mcmc moves into calls under the work budget
+        # (same accounting as inference/smc.py's fused path)
+        units_per_move = 3 + n_hmc * hmc_cfg.n_leapfrog * 2
+        chunk_moves = max(1, int(
+            _MAX_CALL_MS / max(units_per_move * _unit_ms(R), 1e-9)))
 
-        # per-series ESS resampling
-        low = []
-        flat_idx = np.arange(R, dtype=np.int32)
-        for s in range(S):
-            sl = slice(s * P, (s + 1) * P)
-            if P > 1 and _ess(log_w[sl]) < ess_fraction * P:
-                flat_idx[sl] = resample_indices(rng, log_w[sl]) + s * P
-                log_w[sl] = 0.0
-                low.append(s)
-        if low:
-            params, log_noise, lml, eps_scale = gather_particles(
-                (params, log_noise, lml, eps_scale), jnp.asarray(flat_idx)
-            )
-            host_types = host_types[flat_idx]
-        do_rejuvenate = bool(low) or not adaptive_rejuvenation
-        if do_rejuvenate and n_mcmc > 0:
-            (host_types, params, log_noise, lml, key, _,
-             eps_scale) = mcmc_structure_sweep(
-                rng, key, host_types, params, log_noise, lml, x_b, y_b, mask_b,
-                config, n_mcmc, n_hmc, hmc_cfg, DEFAULT_JITTER,
-                noise_mu, noise_sigma, infer, eps_scale=eps_scale,
-                mesh=sweep_mesh, lml_backend=lml_backend,
-            )
-        elif do_rejuvenate and n_hmc > 0:
-            mu, sg, act = (jnp.asarray(a) for a in
-                           prior_arrays(host_types, config))
-            key, sub = jax.random.split(key)
+    types_d = jnp.asarray(host_types)
+    for cap_k, steps in schedule_segments(
+            linear_schedule(n_max, eff_prop), cap):
+        x_seg = x_b[:, :cap_k]
+        y_seg = y_b[:, :cap_k]
+        iota = np.arange(cap_k)
+        for n_k in steps:
+            f = n_k / n_max
+            n_new = np.minimum(
+                np.ceil(f * lens_row).astype(np.int64), lens_row)
+            mask_b = jnp.asarray(
+                (iota[None, :] < n_new[:, None]).astype(np.float32))
             if sweep_mesh is not None:
-                params, log_noise, lml, _, eps_scale = run_hmc_sharded(
-                    jnp.asarray(host_types), params, log_noise, mu, sg, act,
-                    x_b, y_b, mask_b, sub, eps_scale, mesh=sweep_mesh,
-                    n_steps=n_hmc, n_leapfrog=hmc_cfg.n_leapfrog,
-                    step_size=hmc_cfg.step_size,
-                    step_jitter=hmc_cfg.step_size_jitter,
-                    jitter=DEFAULT_JITTER, noise_mu=noise_mu,
-                    noise_sigma=noise_sigma, infer_noise=infer,
+                lml_new = lml_rows_sharded(
+                    types_d, params, log_noise, x_seg, y_seg,
+                    mask_b, mesh=sweep_mesh,
                 )
             else:
-                from ..inference.hmc import run_hmc
-
-                params, log_noise, lml, _, eps_scale = run_hmc(
-                    jnp.asarray(host_types), params, log_noise, mu, sg, act,
-                    x_b, y_b, mask_b, sub,
-                    n_steps=n_hmc, n_leapfrog=hmc_cfg.n_leapfrog,
-                    step_size=hmc_cfg.step_size,
-                    step_jitter=hmc_cfg.step_size_jitter,
-                    jitter=DEFAULT_JITTER, noise_mu=noise_mu,
-                    noise_sigma=noise_sigma, infer_noise=infer,
-                    eps_scale=eps_scale, lml_backend=lml_backend,
+                lml_new = gp_lml_batch(
+                    types_d, params, log_noise, x_seg, y_seg,
+                    mask_b, DEFAULT_JITTER, backend=lml_backend,
                 )
+            lml_new_np = np.asarray(lml_new, np.float64)
+            lml_old_np = np.asarray(lml, np.float64)
+            # sentinel guard: a particle broken on either side of the
+            # reweight must lose weight, not gain ~1e10 of it
+            # (models/gp_model.py:174-176)
+            log_w += np.where(
+                (lml_old_np <= -1e9) | (lml_new_np <= -1e9), -1e10,
+                lml_new_np - lml_old_np)
+            lml = lml_new
+
+            # per-series ESS resampling
+            low = []
+            flat_idx = np.arange(R, dtype=np.int32)
+            for s in range(S):
+                sl = slice(s * P, (s + 1) * P)
+                if P > 1 and _ess(log_w[sl]) < ess_fraction * P:
+                    flat_idx[sl] = resample_indices(rng, log_w[sl]) + s * P
+                    log_w[sl] = 0.0
+                    low.append(s)
+            if low:
+                params, log_noise, lml, eps_scale = gather_particles(
+                    (params, log_noise, lml, eps_scale),
+                    jnp.asarray(flat_idx)
+                )
+                host_types = host_types[flat_idx]
+                types_d = jnp.asarray(host_types)
+            do_rejuvenate = bool(low) or not adaptive_rejuvenation
+            if do_rejuvenate and use_device:
+                left = n_mcmc
+                while left > 0:
+                    m = min(chunk_moves, left)
+                    key, sub = jax.random.split(key)
+                    sweep_kw = dict(
+                        n_mcmc=m, n_hmc=n_hmc,
+                        n_leapfrog=hmc_cfg.n_leapfrog,
+                        step_size=hmc_cfg.step_size,
+                        step_jitter=hmc_cfg.step_size_jitter,
+                        jitter=DEFAULT_JITTER, noise_mu=noise_mu,
+                        noise_sigma=noise_sigma, infer_noise=infer,
+                    )
+                    if sweep_mesh is not None:
+                        (types_d, params, log_noise, lml, _,
+                         eps_scale) = rejuvenation_sweep_sharded(
+                            types_d, params, log_noise, lml, x_seg, y_seg,
+                            mask_b, sub, eps_scale, cfg_arrays, anc,
+                            mesh=sweep_mesh, **sweep_kw)
+                    else:
+                        (types_d, params, log_noise, lml, _,
+                         eps_scale) = rejuvenation_sweep(
+                            types_d, params, log_noise, lml, x_seg, y_seg,
+                            mask_b, sub, cfg_arrays, anc,
+                            eps_scale=eps_scale, **sweep_kw)
+                    left -= m
+                host_types = np.asarray(types_d)
+            elif do_rejuvenate and n_mcmc > 0:
+                (host_types, params, log_noise, lml, key, _,
+                 eps_scale) = mcmc_structure_sweep(
+                    rng, key, host_types, params, log_noise, lml, x_seg,
+                    y_seg, mask_b, config, n_mcmc, n_hmc, hmc_cfg,
+                    DEFAULT_JITTER, noise_mu, noise_sigma, infer,
+                    eps_scale=eps_scale, mesh=sweep_mesh,
+                    lml_backend=lml_backend,
+                )
+                types_d = jnp.asarray(host_types)
+            elif do_rejuvenate and n_hmc > 0:
+                mu, sg, act = (jnp.asarray(a) for a in
+                               prior_arrays(host_types, config))
+                key, sub = jax.random.split(key)
+                if sweep_mesh is not None:
+                    params, log_noise, lml, _, eps_scale = run_hmc_sharded(
+                        types_d, params, log_noise, mu, sg, act,
+                        x_seg, y_seg, mask_b, sub, eps_scale,
+                        mesh=sweep_mesh,
+                        n_steps=n_hmc, n_leapfrog=hmc_cfg.n_leapfrog,
+                        step_size=hmc_cfg.step_size,
+                        step_jitter=hmc_cfg.step_size_jitter,
+                        jitter=DEFAULT_JITTER, noise_mu=noise_mu,
+                        noise_sigma=noise_sigma, infer_noise=infer,
+                    )
+                else:
+                    from ..inference.hmc import run_hmc
+
+                    params, log_noise, lml, _, eps_scale = run_hmc(
+                        types_d, params, log_noise, mu, sg, act,
+                        x_seg, y_seg, mask_b, sub,
+                        n_steps=n_hmc, n_leapfrog=hmc_cfg.n_leapfrog,
+                        step_size=hmc_cfg.step_size,
+                        step_jitter=hmc_cfg.step_size_jitter,
+                        jitter=DEFAULT_JITTER, noise_mu=noise_mu,
+                        noise_sigma=noise_sigma, infer_noise=infer,
+                        eps_scale=eps_scale, lml_backend=lml_backend,
+                    )
 
     # ---- split rows back into per-series GPModels
     params_np = np.asarray(params)

@@ -429,25 +429,42 @@ class TestShardMapFused:
 
     def test_fit_panel_multidevice_runs_sharded_sweep(self, monkeypatch):
         """fit_panel with a >1-device mesh must route rejuvenation through
-        the shard_map step (not the lml_backend='jnp' pjit pin)."""
-        from nowcastautogp_tpu.inference import structure_mcmc as sm_mod
+        a shard_map sweep (not the lml_backend='jnp' pjit pin): the
+        default device engine uses rejuvenation_sweep_sharded (one call
+        per step), engine='host' uses structure_move_sharded per move."""
+        from nowcastautogp_tpu.parallel import panel as panel_mod
         from nowcastautogp_tpu.parallel import sharding as sh_mod
 
-        calls = {"sharded": 0}
-        real = sh_mod.structure_move_sharded
+        del panel_mod  # both sweeps resolve through sharding at call time
+        calls = {"device": 0, "host": 0}
+        real_sweep = sh_mod.rejuvenation_sweep_sharded
+        real_move = sh_mod.structure_move_sharded
 
-        def counting(*a, **kw):
-            calls["sharded"] += 1
-            return real(*a, **kw)
+        def counting_sweep(*a, **kw):
+            calls["device"] += 1
+            return real_sweep(*a, **kw)
 
-        monkeypatch.setattr(sh_mod, "structure_move_sharded", counting)
+        def counting_move(*a, **kw):
+            calls["host"] += 1
+            return real_move(*a, **kw)
+
+        monkeypatch.setattr(
+            sh_mod, "rejuvenation_sweep_sharded", counting_sweep)
+        monkeypatch.setattr(sh_mod, "structure_move_sharded", counting_move)
         mesh = make_mesh(4)
         datasets = _panel(4, seed=21)
         models = fit_panel(
             datasets, n_particles=2, smc_data_proportion=0.5,
             n_mcmc=1, n_hmc=1, seed=22, mesh=mesh,
         )
-        assert calls["sharded"] > 0
+        assert calls["device"] > 0
+        for m in models:
+            assert np.all(np.isfinite(np.asarray(m._lml_d)))
+        models = fit_panel(
+            datasets, n_particles=2, smc_data_proportion=0.5,
+            n_mcmc=1, n_hmc=1, seed=22, mesh=mesh, engine="host",
+        )
+        assert calls["host"] > 0
         for m in models:
             assert np.all(np.isfinite(np.asarray(m._lml_d)))
 
